@@ -1,0 +1,50 @@
+"""Kinematic bicycle-model vehicle dynamics as pure jnp ops.
+
+Replaces the Bullet rigid-body step MetaDrive performs in C++ per vehicle
+(SURVEY.md §2.4) with a vectorized kinematic bicycle model: one fused update
+for all (B, N) vehicles. Action semantics follow the reference contract
+(SURVEY.md §2.2): Box(2,) in [-1,1] = [steering, throttle/brake].
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from copo_tpu.envs.config import EnvConfig
+
+
+def step_dynamics(cfg: EnvConfig, pos, heading, speed, steering, actions):
+    """Advance vehicle state by one env step (dt seconds).
+
+    All inputs are arrays over agent slots (leading dims arbitrary):
+      pos (..., 2), heading (...), speed (...), steering (...), actions (..., 2)
+    Returns (pos', heading', speed', steering', yaw_rate).
+    """
+    a_steer = jnp.clip(actions[..., 0], -1.0, 1.0)
+    a_throttle = jnp.clip(actions[..., 1], -1.0, 1.0)
+
+    # Low-pass toward the commanded wheel angle (discrete stand-in for the
+    # steering actuator dynamics Bullet integrates).
+    target = a_steer * cfg.max_steering
+    new_steering = steering + cfg.steering_smooth * (target - steering)
+
+    accel = jnp.where(a_throttle >= 0.0, a_throttle * cfg.max_accel, a_throttle * cfg.max_brake)
+    accel = accel - cfg.drag_decel
+    new_speed = jnp.clip(speed + accel * cfg.dt, 0.0, cfg.max_speed)
+
+    # Kinematic bicycle: yaw rate = v/L * tan(delta), integrated midpoint.
+    avg_speed = 0.5 * (speed + new_speed)
+    yaw_rate = avg_speed / cfg.wheelbase * jnp.tan(new_steering)
+    new_heading = heading + yaw_rate * cfg.dt
+    mid_heading = heading + 0.5 * yaw_rate * cfg.dt
+    delta = jnp.stack(
+        [avg_speed * jnp.cos(mid_heading) * cfg.dt, avg_speed * jnp.sin(mid_heading) * cfg.dt],
+        axis=-1,
+    )
+    new_pos = pos + delta
+    return new_pos, new_heading, new_speed, new_steering, yaw_rate
+
+
+def wrap_angle(theta):
+    """Wrap angle(s) to (-pi, pi]."""
+    return jnp.arctan2(jnp.sin(theta), jnp.cos(theta))

@@ -1,0 +1,416 @@
+"""DrivingEngine — the vectorized, jit-compiled multi-agent driving env.
+
+Replaces the whole L1+L2 stack of the reference (MetaDrive MultiAgent*Env +
+CCEnv/LCFEnv wrappers, SURVEY.md §1): fixed agent-slot arrays instead of dict
+spaces, respawn = slot reuse with a fresh uid (reference respawn semantics,
+SURVEY.md §2.2), the O(N^2) neighbour graph as one masked distance matrix
+(replacing `env_wrappers.py:141-158`), and LCF sampling/append inside the
+step (replacing `env_wrappers.py:393-418`). Single-env functions; batch over
+env instances with `jax.vmap` (see `VecDrivingEnv`).
+
+Step contract (slot-based analogue of the gym-dict MARL protocol):
+  actions apply to slots alive at step start; `info.valid` marks those slots'
+  transitions; `done` flags transition boundaries; newly respawned agents
+  appear in the returned obs with fresh uids and valid=False this step.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from copo_tpu.envs.config import EnvConfig, EnvParams
+from copo_tpu.envs.dynamics import step_dynamics, wrap_angle
+from copo_tpu.envs.lidar import lidar_scan
+from copo_tpu.envs.geometry import WAYPOINT_SPACING
+from copo_tpu.envs.observation import build_obs
+from copo_tpu.envs.routing import locate_on_route
+from copo_tpu.envs.scene import SceneData
+
+
+@struct.dataclass
+class EnvState:
+    """Per-env-instance state over N agent slots."""
+
+    pos: jnp.ndarray          # (N, 2)
+    heading: jnp.ndarray      # (N,)
+    speed: jnp.ndarray        # (N,)
+    steering: jnp.ndarray     # (N,)
+    yaw_rate: jnp.ndarray     # (N,)
+    last_action: jnp.ndarray  # (N, 2)
+
+    route: jnp.ndarray        # (N,) int32 assigned route
+    waypoint_idx: jnp.ndarray  # (N,) int32 tracked waypoint
+    s: jnp.ndarray            # (N,) float32 arc-length progress
+    spawn_s: jnp.ndarray      # (N,) float32 progress at spawn (for route_completion)
+    lateral: jnp.ndarray      # (N,) float32 signed lateral offset
+    lane_heading: jnp.ndarray  # (N,)
+
+    alive: jnp.ndarray        # (N,) bool — actively controlled
+    dead_timer: jnp.ndarray   # (N,) int32 — body persists while > 0
+    uid: jnp.ndarray          # (N,) int32 unique agent id (-1 = never used)
+    next_uid: jnp.ndarray     # () int32
+    steps: jnp.ndarray        # (N,) int32 steps since spawn
+    ep_reward: jnp.ndarray    # (N,) float32 accumulated reward since spawn
+    ep_cost: jnp.ndarray      # (N,) float32 accumulated cost since spawn
+    lcf: jnp.ndarray          # (N,) float32 in [-1, 1]
+
+    t: jnp.ndarray            # () int32 env episode step
+    key: jnp.ndarray          # PRNGKey
+
+    @property
+    def present(self):
+        """Bodies that exist in the world (controlled or decaying wreck)."""
+        return self.alive | (self.dead_timer > 0)
+
+
+@struct.dataclass
+class StepInfo:
+    """Per-step side-channel arrays (replaces the reference info dict keys
+    `neighbours`/`nei_rewards`/`global_rewards`/`lcf`/metric fields)."""
+
+    valid: jnp.ndarray          # (N,) bool — transition belongs to a live agent
+    arrive_dest: jnp.ndarray    # (N,) bool
+    crash: jnp.ndarray          # (N,) bool
+    out_of_road: jnp.ndarray    # (N,) bool
+    max_step: jnp.ndarray       # (N,) bool
+    step_reward: jnp.ndarray    # (N,) float32 (reward actually returned)
+    native_reward: jnp.ndarray  # (N,) float32
+    coordinated_reward: jnp.ndarray  # (N,) float32 cos(phi) r_self + sin(phi) r_nei
+    nei_reward: jnp.ndarray     # (N,) float32 mean reward of in-radius neighbours
+    global_reward: jnp.ndarray  # (N,) float32 mean reward over valid agents
+    num_neighbours: jnp.ndarray  # (N,) int32
+    cost: jnp.ndarray           # (N,) float32
+    lcf: jnp.ndarray            # (N,) float32
+    velocity: jnp.ndarray       # (N,) float32 m/s
+    steering: jnp.ndarray       # (N,) float32 raw steering action
+    acceleration: jnp.ndarray   # (N,) float32 raw throttle action
+    episode_length: jnp.ndarray  # (N,) int32
+    episode_reward: jnp.ndarray  # (N,) float32
+    route_completion: jnp.ndarray  # (N,) float32
+
+
+@struct.dataclass
+class StepOutput:
+    obs: jnp.ndarray       # (N, obs_dim)
+    reward: jnp.ndarray    # (N,)
+    done: jnp.ndarray      # (N,) bool
+    done_all: jnp.ndarray  # () bool
+    info: StepInfo
+
+
+def _sample_lcf(cfg: EnvConfig, key, shape, params: EnvParams):
+        cfg = cfg
+        if not cfg.lcf_enabled:
+            return jnp.zeros(shape, dtype=jnp.float32)
+        forced = params.force_lcf > -99.0
+        mean = jnp.where(forced, params.force_lcf, params.lcf_mean)
+        if cfg.lcf_dist == "normal":
+            lcf = mean + params.lcf_std * jax.random.normal(key, shape)
+            return jnp.clip(lcf, -1.0, 1.0)
+        # uniform: forced value is used verbatim (env_wrappers.py:402-407)
+        uni = jax.random.uniform(key, shape, minval=-1.0, maxval=1.0)
+        return jnp.where(forced, jnp.full(shape, mean), uni)
+
+def _respawn(scene: SceneData, cfg: EnvConfig, state: EnvState, params: EnvParams, key) -> EnvState:
+        """Fill free slots from unoccupied spawn points (vectorized matching)."""
+        N = cfg.num_agents
+        S = scene.num_spawns
+        k_perm, k_route, k_lcf = jax.random.split(key, 3)
+
+        free_slot = (~state.alive) & (state.dead_timer <= 0)
+        active = jnp.sum(state.alive)
+        budget = jnp.clip(params.target_num_agents - active, 0, N)
+
+        # spawn occupancy: any present body within clear radius
+        d2 = jnp.sum((scene.spawn_xy[:, None, :] - state.pos[None, :, :]) ** 2, axis=-1)
+        occupied = jnp.any(
+            (d2 < cfg.spawn_clear_radius**2) & state.present[None, :], axis=1
+        )  # (S,)
+        spawn_free = ~occupied
+
+        # order spawn indices: free ones first, randomly shuffled
+        perm = jax.random.uniform(k_perm, (S,))
+        order = jnp.argsort(jnp.where(spawn_free, perm, perm + 2.0))
+        n_free_spawns = jnp.sum(spawn_free)
+
+        # rank free slots; slot takes the rank-th free spawn if within budget
+        slot_rank = jnp.cumsum(free_slot.astype(jnp.int32)) - 1
+        will_spawn = free_slot & (slot_rank < jnp.minimum(budget, n_free_spawns))
+        spawn_idx = order[jnp.clip(slot_rank, 0, S - 1)]  # (N,)
+
+        # choose a route option at each spawn point
+        rmax = scene.spawn_routes.shape[1]
+        route_choice = jax.random.randint(k_route, (N,), 0, rmax)
+        route_choice = route_choice % jnp.maximum(scene.spawn_n_routes[spawn_idx], 1)
+        new_route = scene.spawn_routes[spawn_idx, route_choice]
+        new_s = scene.spawn_route_s[spawn_idx, route_choice]
+
+        new_lcf = _sample_lcf(cfg, k_lcf, (N,), params)
+        new_uid = state.next_uid + slot_rank
+
+        def sel(new, old):
+            w = will_spawn
+            if new.ndim > 1:
+                w = will_spawn[:, None]
+            return jnp.where(w, new, old)
+
+        spacing_idx = jnp.floor(new_s / WAYPOINT_SPACING).astype(jnp.int32)
+        return state.replace(
+            pos=sel(scene.spawn_xy[spawn_idx], state.pos),
+            heading=sel(scene.spawn_heading[spawn_idx], state.heading),
+            speed=sel(jnp.zeros((N,)), state.speed),
+            steering=sel(jnp.zeros((N,)), state.steering),
+            yaw_rate=sel(jnp.zeros((N,)), state.yaw_rate),
+            last_action=sel(jnp.zeros((N, 2)), state.last_action),
+            route=sel(new_route, state.route).astype(jnp.int32),
+            waypoint_idx=sel(spacing_idx, state.waypoint_idx).astype(jnp.int32),
+            s=sel(new_s, state.s),
+            spawn_s=sel(new_s, state.spawn_s),
+            lateral=sel(jnp.zeros((N,)), state.lateral),
+            lane_heading=sel(scene.spawn_heading[spawn_idx], state.lane_heading),
+            alive=state.alive | will_spawn,
+            uid=sel(new_uid, state.uid).astype(jnp.int32),
+            next_uid=state.next_uid + jnp.sum(will_spawn),
+            steps=sel(jnp.zeros((N,), jnp.int32), state.steps),
+            ep_reward=sel(jnp.zeros((N,)), state.ep_reward),
+            ep_cost=sel(jnp.zeros((N,)), state.ep_cost),
+            lcf=sel(new_lcf, state.lcf),
+        )
+
+def _empty_state(cfg: EnvConfig, key) -> EnvState:
+        N = cfg.num_agents
+        zf = jnp.zeros((N,), jnp.float32)
+        zi = jnp.zeros((N,), jnp.int32)
+        return EnvState(
+            pos=jnp.zeros((N, 2)) + 1e6,  # far away: empty slots never collide
+            heading=zf, speed=zf, steering=zf, yaw_rate=zf,
+            last_action=jnp.zeros((N, 2)),
+            route=zi, waypoint_idx=zi, s=zf, spawn_s=zf, lateral=zf, lane_heading=zf,
+            alive=jnp.zeros((N,), bool), dead_timer=zi,
+            uid=jnp.full((N,), -1, jnp.int32), next_uid=jnp.int32(0),
+            steps=zi, ep_reward=zf, ep_cost=zf, lcf=zf,
+            t=jnp.int32(0), key=key,
+        )
+
+def observe(scene: SceneData, cfg: EnvConfig, state: EnvState):
+        lidar = lidar_scan(scene, cfg, state.pos, state.heading, state.present)
+        return build_obs(
+            scene, cfg,
+            pos=state.pos, heading=state.heading, speed=state.speed,
+            steering=state.steering, yaw_rate=state.yaw_rate,
+            last_action=state.last_action, route_idx=state.route, s=state.s,
+            lateral=state.lateral, lane_heading=state.lane_heading,
+            lidar_block=lidar, lcf=state.lcf,
+        )
+
+def engine_reset(scene: SceneData, cfg: EnvConfig, key, params: EnvParams):
+        k0, k1 = jax.random.split(key)
+        state = _empty_state(cfg, k0)
+        state = _respawn(scene, cfg, state, params, k1)
+        return state, observe(scene, cfg, state)
+
+
+def engine_step(scene: SceneData, cfg: EnvConfig, state: EnvState, actions,
+                params: EnvParams, auto_reset: bool = True):
+        """One env step. actions: (N, 2) in [-1, 1]."""
+        N = cfg.num_agents
+        key, k_step, k_reset = jax.random.split(state.key, 3)
+        alive0 = state.alive
+        valid = alive0
+
+        # Sanitize: a diverging policy emitting NaN/inf must not poison env
+        # state (jnp.clip propagates NaN).
+        actions = jnp.clip(jnp.nan_to_num(actions), -1.0, 1.0)
+        actions = jnp.where(alive0[:, None], actions, 0.0)
+
+        # --- dynamics (frozen for non-alive slots) ---
+        pos, heading, speed, steering, yaw_rate = step_dynamics(
+            cfg, state.pos, state.heading, state.speed, state.steering, actions
+        )
+        pos = jnp.where(alive0[:, None], pos, state.pos)
+        heading = jnp.where(alive0, wrap_angle(heading), state.heading)
+        speed = jnp.where(alive0, speed, state.speed)
+        steering = jnp.where(alive0, steering, state.steering)
+        yaw_rate = jnp.where(alive0, yaw_rate, 0.0)
+
+        # --- localization ---
+        wp_idx, s_new, lateral, lane_heading = locate_on_route(
+            scene, state.route, state.waypoint_idx, pos
+        )
+        s_new = jnp.where(alive0, s_new, state.s)
+        progress = jnp.where(alive0, s_new - state.s, 0.0)
+
+        # --- events ---
+        left_w = scene.route_left_width[state.route]
+        right_w = scene.route_right_width[state.route]
+        out_of_road = alive0 & ((lateral > left_w) | (lateral < -right_w))
+        route_len = scene.route_len[state.route]
+        arrive = alive0 & (s_new >= route_len - 2.0) & ~out_of_road
+
+        # collision: capsule-vs-capsule via two discs per vehicle
+        r = 0.55 * cfg.vehicle_width + 0.15
+        off = 0.25 * cfg.vehicle_length
+        fwd = jnp.stack([jnp.cos(heading), jnp.sin(heading)], axis=-1)
+        discs = jnp.stack([pos + off * fwd, pos - off * fwd], axis=1)  # (N,2,2)
+        flat = discs.reshape(2 * N, 2)
+        owner = jnp.repeat(jnp.arange(N), 2)
+        body_present = state.present
+        present2 = jnp.repeat(body_present, 2)
+        dd = jnp.sum((flat[:, None, :] - flat[None, :, :]) ** 2, axis=-1)
+        overlap = (dd < (2 * r) ** 2) & (owner[:, None] != owner[None, :])
+        overlap &= present2[:, None] & present2[None, :]
+        crash_body = jnp.any(overlap.reshape(N, 2, 2 * N), axis=(1, 2))
+        crash = alive0 & crash_body
+
+        steps_new = state.steps + alive0.astype(jnp.int32)
+        max_step = alive0 & (steps_new >= cfg.max_step_per_agent)
+        t_new = state.t + 1
+        horizon_end = t_new >= cfg.horizon
+        done_all = jnp.asarray(horizon_end)
+
+        # --- reward (MetaDrive 0.2.5 semantics: dense progress + speed,
+        #     one-off terminal bonus/penalties; cost channel for safety) ---
+        half_w = 0.5 * (left_w + right_w)
+        lat_factor = jnp.where(
+            cfg.use_lateral_reward,
+            jnp.clip(1.0 - jnp.abs(lateral) / jnp.maximum(half_w, 1e-3), 0.0, 1.0),
+            1.0,
+        )
+        native = cfg.driving_reward * progress * lat_factor
+        native = native + cfg.speed_reward * speed / cfg.max_speed * alive0
+        native = native + cfg.success_reward * arrive
+        native = native - cfg.crash_vehicle_penalty * crash
+        native = native - cfg.out_of_road_penalty * out_of_road
+        native = jnp.where(valid, native, 0.0)
+        cost = cfg.crash_vehicle_cost * crash + cfg.out_of_road_cost * out_of_road
+
+        # --- neighbourhood graph + reward mixing (CCEnv/LCFEnv semantics) ---
+        d2_agents = jnp.sum((pos[:, None, :] - pos[None, :, :]) ** 2, axis=-1)
+        nei_mask = (
+            (d2_agents < cfg.neighbours_distance**2)
+            & valid[:, None] & valid[None, :]
+            & ~jnp.eye(N, dtype=bool)
+        )
+        n_nei = jnp.sum(nei_mask, axis=1)
+        nei_reward = jnp.where(
+            n_nei > 0, (nei_mask @ native) / jnp.maximum(n_nei, 1), 0.0
+        )
+        n_valid_agents = jnp.maximum(jnp.sum(valid), 1)
+        global_reward = jnp.where(valid, jnp.sum(native) / n_valid_agents, 0.0)
+
+        if cfg.lcf_mode == "angle":
+            phi = state.lcf * jnp.pi / 2.0
+            coordinated = jnp.cos(phi) * native + jnp.sin(phi) * nei_reward
+        else:  # "linear": lcf mapped to [0,1] (env_wrappers.py:349-351)
+            w = 0.5 * (state.lcf + 1.0)
+            coordinated = w * native + (1.0 - w) * nei_reward
+        reward = native if cfg.return_native_reward or not cfg.lcf_enabled else coordinated
+
+        # --- termination bookkeeping ---
+        done_i = arrive | max_step | (done_all & alive0)
+        if cfg.crash_done:
+            done_i |= crash
+        if cfg.out_of_road_done:
+            done_i |= out_of_road
+        alive1 = alive0 & ~done_i
+        # wrecks persist for delay_done steps; arrivals are removed immediately
+        new_wreck = done_i & ~arrive
+        dead_timer = jnp.where(new_wreck, cfg.delay_done, jnp.maximum(state.dead_timer - 1, 0))
+
+        ep_reward = state.ep_reward + reward
+        ep_cost = state.ep_cost + cost
+        route_completion = jnp.clip(
+            (s_new - state.spawn_s) / jnp.maximum(route_len - state.spawn_s, 1e-3), 0.0, 1.0
+        )
+
+        stepped = state.replace(
+            pos=pos, heading=heading, speed=speed, steering=steering, yaw_rate=yaw_rate,
+            last_action=jnp.where(valid[:, None], actions, state.last_action),
+            waypoint_idx=jnp.where(alive0, wp_idx, state.waypoint_idx).astype(jnp.int32),
+            s=s_new,
+            lateral=jnp.where(alive0, lateral, state.lateral),
+            lane_heading=jnp.where(alive0, lane_heading, state.lane_heading),
+            alive=alive1, dead_timer=dead_timer,
+            steps=steps_new, ep_reward=ep_reward, ep_cost=ep_cost,
+            t=t_new, key=key,
+        )
+        stepped = _respawn(scene, cfg, stepped, params, k_step)
+
+        info = StepInfo(
+            valid=valid,
+            arrive_dest=arrive, crash=crash, out_of_road=out_of_road,
+            max_step=max_step & ~(arrive | crash | out_of_road),
+            step_reward=reward, native_reward=native, coordinated_reward=coordinated,
+            nei_reward=nei_reward, global_reward=global_reward,
+            num_neighbours=n_nei.astype(jnp.int32),
+            cost=cost, lcf=state.lcf,
+            velocity=speed, steering=actions[..., 0], acceleration=actions[..., 1],
+            episode_length=steps_new, episode_reward=ep_reward,
+            route_completion=route_completion,
+        )
+
+        if auto_reset:
+            reset_state, _ = engine_reset(scene, cfg, k_reset, params)
+            next_state = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(jnp.reshape(done_all, (1,) * a.ndim), a, b),
+                reset_state, stepped,
+            )
+        else:
+            next_state = stepped
+
+        obs = observe(scene, cfg, next_state)
+        return next_state, StepOutput(
+            obs=obs, reward=reward, done=done_i, done_all=done_all, info=info
+        )
+
+
+def vec_reset(scene: SceneData, cfg: EnvConfig, keys, params: EnvParams):
+    """Batched reset over B env instances (keys: (B, key))."""
+    return jax.vmap(lambda k: engine_reset(scene, cfg, k, params))(keys)
+
+
+def vec_step(scene: SceneData, cfg: EnvConfig, states, actions, params: EnvParams):
+    """Batched step over B env instances."""
+    return jax.vmap(lambda st, a: engine_step(scene, cfg, st, a, params))(states, actions)
+
+
+# Module-level jit caches: shared across engine instances. The scene is a
+# runtime argument on purpose — embedding it as a jit constant slows XLA
+# compilation by >100x (measured on CPU: 2.5 s vs >290 s).
+_jit_reset = jax.jit(engine_reset, static_argnums=(1,))
+_jit_step = jax.jit(engine_step, static_argnums=(1, 5))
+_jit_vec_reset = jax.jit(vec_reset, static_argnums=(1,))
+_jit_vec_step = jax.jit(vec_step, static_argnums=(1,))
+
+
+class DrivingEngine:
+    """Thin OO facade over the pure engine functions (pre-jitted)."""
+
+    def __init__(self, scene: SceneData, cfg: EnvConfig):
+        self.scene = scene
+        self.cfg = cfg
+
+    def reset(self, key, params: EnvParams):
+        return _jit_reset(self.scene, self.cfg, key, params)
+
+    def step(self, state: EnvState, actions, params: EnvParams, auto_reset: bool = True):
+        return _jit_step(self.scene, self.cfg, state, actions, params, auto_reset)
+
+
+class VecDrivingEnv:
+    """B-way vectorized view via vmap (shared scene/params across envs)."""
+
+    def __init__(self, scene: SceneData, cfg: EnvConfig, num_envs: int):
+        self.engine = DrivingEngine(scene, cfg)
+        self.scene = scene
+        self.cfg = cfg
+        self.num_envs = num_envs
+
+    def reset(self, key, params: EnvParams):
+        keys = jax.random.split(key, self.num_envs)
+        return _jit_vec_reset(self.scene, self.cfg, keys, params)
+
+    def step(self, states, actions, params: EnvParams):
+        return _jit_vec_step(self.scene, self.cfg, states, actions, params)

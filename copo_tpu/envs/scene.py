@@ -1,0 +1,139 @@
+"""SceneData — a compiled scene as a pytree of fixed-shape device arrays.
+
+The MetaDrive dependency the reference steps through (Panda3D scene graph +
+Bullet physics, see SURVEY.md §2.4) is replaced by this static compilation:
+routes are uniform-arc-length waypoint arrays, static obstacles are baked into
+a (H, W, A) lidar distance field, and spawn points are sets of (route, s0)
+options sharing one physical location. The jitted engine touches scenes only
+through gathers on these arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+from copo_tpu.envs import geometry as geo
+
+
+@struct.dataclass
+class SceneData:
+    """Compiled static scene. All leaves are device arrays; shapes are static.
+
+    Shapes: R routes x P waypoints; S spawn points x RMAX route options;
+    (H, W, A) lidar field.
+    """
+
+    # --- routes ---
+    route_xy: jnp.ndarray        # (R, P, 2) uniform-spacing waypoints, tail-padded
+    route_len: jnp.ndarray       # (R,) drivable arc length
+    route_n_valid: jnp.ndarray   # (R,) number of valid waypoints
+    route_left_width: jnp.ndarray   # (R,) drivable width left of centerline
+    route_right_width: jnp.ndarray  # (R,) drivable width right of centerline
+
+    # --- spawn points (destination == end of assigned route) ---
+    spawn_xy: jnp.ndarray        # (S, 2) physical spawn location
+    spawn_heading: jnp.ndarray   # (S,) initial heading
+    spawn_routes: jnp.ndarray    # (S, RMAX) int32 candidate route ids, padded
+    spawn_route_s: jnp.ndarray   # (S, RMAX) float32 arc-length of this point on route
+    spawn_n_routes: jnp.ndarray  # (S,) int32 number of valid candidates
+
+    # --- static lidar field ---
+    lidar_field: jnp.ndarray     # (H, W, A) distance to nearest wall, capped
+    field_origin: jnp.ndarray    # (2,) xmin, ymin
+    field_cell: jnp.ndarray      # () cell size in meters
+
+    # --- misc ---
+    walls: jnp.ndarray           # (Wn, 4) segments (lidar bake input; kept for viz/debug)
+    bbox: jnp.ndarray            # (4,) xmin, xmax, ymin, ymax
+
+    @property
+    def num_routes(self) -> int:
+        return self.route_xy.shape[0]
+
+    @property
+    def num_spawns(self) -> int:
+        return self.spawn_xy.shape[0]
+
+    @property
+    def num_lidar_angles(self) -> int:
+        return self.lidar_field.shape[2]
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneBuildSpec:
+    """Host-side inputs to `compile_scene` (plain numpy, not a pytree).
+
+    `spawns` is a list of spawn points; each is a non-empty list of
+    (route_idx, s0) options that share one physical location (e.g. the routes
+    turning left / straight / right from the same entry-lane position).
+    """
+
+    routes: list            # list of (Ki, 2) polylines (raw, any spacing)
+    half_widths: list       # per route: float (symmetric) or (left, right) tuple
+    spawns: list            # list[list[(route_idx, s0)]]
+    walls: np.ndarray       # (Wn, 4) static wall segments
+    bbox: tuple             # (xmin, xmax, ymin, ymax)
+    lidar_cell: float = 1.0
+    lidar_angles: int = 72
+    lidar_range: float = 40.0
+
+
+def _interp_on_route(route: np.ndarray, s: float) -> tuple[np.ndarray, float]:
+    """Position and heading at arc length s on a uniform-spacing route."""
+    spacing = geo.WAYPOINT_SPACING
+    idx = int(np.clip(s / spacing, 0, len(route) - 2))
+    t = s / spacing - idx
+    p = route[idx] * (1 - t) + route[idx + 1] * t
+    d = route[idx + 1] - route[idx]
+    return p.astype(np.float32), float(np.arctan2(d[1], d[0]))
+
+
+def compile_scene(spec: SceneBuildSpec) -> SceneData:
+    """Compile a SceneBuildSpec to device-ready arrays (runs once, on host)."""
+    resampled = [geo.resample_polyline(r) for r in spec.routes]
+    route_xy, route_len, n_valid = geo.pad_routes(resampled)
+
+    S = len(spec.spawns)
+    RMAX = max(len(opts) for opts in spec.spawns)
+    spawn_xy = np.zeros((S, 2), dtype=np.float32)
+    spawn_heading = np.zeros((S,), dtype=np.float32)
+    spawn_routes = np.zeros((S, RMAX), dtype=np.int32)
+    spawn_route_s = np.zeros((S, RMAX), dtype=np.float32)
+    spawn_n = np.zeros((S,), dtype=np.int32)
+    for i, opts in enumerate(spec.spawns):
+        assert len(opts) >= 1
+        ri0, s0 = opts[0]
+        spawn_xy[i], spawn_heading[i] = _interp_on_route(resampled[ri0], s0)
+        spawn_n[i] = len(opts)
+        for j in range(RMAX):
+            ri, sj = opts[min(j, len(opts) - 1)]  # pad by repeating last option
+            spawn_routes[i, j] = ri
+            spawn_route_s[i, j] = sj
+
+    lw = np.array([w[0] if isinstance(w, (tuple, list)) else w for w in spec.half_widths], np.float32)
+    rw = np.array([w[1] if isinstance(w, (tuple, list)) else w for w in spec.half_widths], np.float32)
+
+    field, origin = geo.bake_lidar_field(
+        spec.walls, spec.bbox, spec.lidar_cell, spec.lidar_angles, spec.lidar_range
+    )
+
+    return SceneData(
+        route_xy=jnp.asarray(route_xy),
+        route_len=jnp.asarray(route_len),
+        route_n_valid=jnp.asarray(n_valid),
+        route_left_width=jnp.asarray(lw), route_right_width=jnp.asarray(rw),
+        spawn_xy=jnp.asarray(spawn_xy),
+        spawn_heading=jnp.asarray(spawn_heading),
+        spawn_routes=jnp.asarray(spawn_routes),
+        spawn_route_s=jnp.asarray(spawn_route_s),
+        spawn_n_routes=jnp.asarray(spawn_n),
+        lidar_field=jnp.asarray(field),
+        field_origin=jnp.asarray(origin),
+        field_cell=jnp.asarray(np.float32(spec.lidar_cell)),
+        walls=jnp.asarray(np.asarray(spec.walls, dtype=np.float32).reshape(-1, 4)),
+        bbox=jnp.asarray(np.asarray(spec.bbox, dtype=np.float32)),
+    )
