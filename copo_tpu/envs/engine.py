@@ -88,6 +88,7 @@ class StepInfo:
     acceleration: jnp.ndarray   # (N,) float32 raw throttle action
     episode_length: jnp.ndarray  # (N,) int32
     episode_reward: jnp.ndarray  # (N,) float32
+    episode_cost: jnp.ndarray   # (N,) float32 accumulated cost since spawn
     route_completion: jnp.ndarray  # (N,) float32
 
 
@@ -347,7 +348,7 @@ def engine_step(scene: SceneData, cfg: EnvConfig, state: EnvState, actions,
             num_neighbours=n_nei.astype(jnp.int32),
             cost=cost, lcf=state.lcf,
             velocity=speed, steering=actions[..., 0], acceleration=actions[..., 1],
-            episode_length=steps_new, episode_reward=ep_reward,
+            episode_length=steps_new, episode_reward=ep_reward, episode_cost=ep_cost,
             route_completion=route_completion,
         )
 

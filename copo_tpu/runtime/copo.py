@@ -1,0 +1,186 @@
+"""CoPO trainer: 3-stream advantages, LCF blending, bi-level meta-update.
+
+Parity: `torch_copo/algo_copo.py` (CoPOConfig/CoPOModel/CoPOPolicy/Trainer,
+SURVEY.md §2.1 item 18; §2.3 items 5-8). Structure of one iteration matches
+`training_step` (`algo_copo.py:516-661`):
+  sample -> blend step-LCF advantages + standardize (saving raw mean/std)
+  -> PPO SGD over 3 value heads -> lcf_num_iters x minibatch meta-updates
+  -> old-policy sync + LCF distribution push to envs.
+The reference's RPC fan-outs (sync_weights, assign_lcf, set_lcf_dist) vanish:
+params are replicated, and the env reads the LCF distribution from EnvParams.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from copo_tpu.algos.copo import coordinated_adv, meta_gradient
+from copo_tpu.algos.gae import masked_gae
+from copo_tpu.algos.ppo import masked_mean
+from copo_tpu.envs.config import EnvConfig, EnvParams
+from copo_tpu.envs.scene import SceneData
+from copo_tpu.models.mlp import lcf_mean, lcf_std
+from copo_tpu.runtime.trainer import IPPOTrainer, TrainerConfig, TrainState, standardized
+
+
+@dataclasses.dataclass(frozen=True)
+class CoPOConfig(TrainerConfig):
+    lcf_lr: float = 1e-4
+    lcf_num_iters: int = 5
+    lcf_sgd_minibatch_size: int | None = None   # defaults to sgd_minibatch_size
+    initial_lcf_std: float = 0.1
+
+
+@struct.dataclass
+class CoPOTrainState(TrainState):
+    target_params: dict = None      # old-policy copy for the meta-gradient
+    lcf_opt_state: object = None
+
+
+class CoPOTrainer(IPPOTrainer):
+    """Coordinated Policy Optimization (the reference's flagship algorithm)."""
+
+    value_heads = ("vf", "nei_vf", "global_vf")
+
+    def __init__(self, scene: SceneData, env_cfg: EnvConfig, cfg: CoPOConfig):
+        if not env_cfg.lcf_enabled:
+            raise ValueError(
+                "CoPO requires lcf_enabled=True env (LCF obs slot + sampling); "
+                "build the scene with make_scene(..., lcf_enabled=True)"
+            )
+        assert env_cfg.return_native_reward, \
+            "CoPO coordinates in advantage space (env returns native reward)"
+        self.lcf_tx = optax.adam(cfg.lcf_lr, eps=1e-7)
+        super().__init__(scene, env_cfg, cfg)
+
+    # ---- model / env ----------------------------------------------------
+    def model_kwargs(self):
+        return {
+            "num_value_heads": 3,
+            "with_lcf": True,
+            "initial_lcf_std": self.cfg.initial_lcf_std,
+        }
+
+    def default_env_params(self) -> EnvParams:
+        return EnvParams(
+            lcf_mean=jnp.float32(0.0),
+            lcf_std=jnp.float32(self.cfg.initial_lcf_std),
+            target_num_agents=jnp.int32(self.env_cfg.num_agents),
+        )
+
+    def init_state(self, key=None) -> CoPOTrainState:
+        base = super().init_state(key)
+        return CoPOTrainState(
+            **{f.name: getattr(base, f.name) for f in dataclasses.fields(TrainState)},
+            target_params=jax.tree_util.tree_map(jnp.copy, base.params),
+            lcf_opt_state=self.lcf_tx.init(base.params["lcf"]),
+        )
+
+    # ---- advantages ------------------------------------------------------
+    def compute_advantages(self, traj, last_values):
+        cfg = self.cfg
+        mask = traj["valid"].astype(jnp.float32)
+
+        adv, vf_target = masked_gae(
+            traj["reward"], traj["vf_pred"], traj["done"], traj["valid"],
+            last_values["vf"], gamma=cfg.gamma, lam=cfg.lam,
+        )
+        nei_adv, nei_target = masked_gae(
+            traj["nei_reward"], traj["nei_vf_pred"], traj["done"], traj["valid"],
+            last_values["nei_vf"], gamma=cfg.gamma, lam=cfg.lam,
+        )
+        # global stream uses gamma=1.0 (`algo_copo.py:204`, copo.py:115)
+        glb_adv, glb_target = masked_gae(
+            traj["global_reward"], traj["global_vf_pred"], traj["done"], traj["valid"],
+            last_values["global_vf"], gamma=1.0, lam=cfg.lam,
+        )
+
+        traj["advantages"] = adv
+        traj["nei_advantage"] = nei_adv
+        traj["vf_target"] = vf_target
+        traj["nei_vf_target"] = nei_target
+        traj["global_vf_target"] = glb_target
+
+        # blend with the per-step env-sampled LCF, save raw stats, standardize
+        blended = coordinated_adv(traj["step_lcf"], adv, nei_adv)
+        raw_mean = masked_mean(blended, mask)
+        raw_std = jnp.maximum(
+            jnp.sqrt(masked_mean(jnp.square(blended - raw_mean), mask)), 1e-4
+        )
+        traj["raw_adv_mean"] = raw_mean
+        traj["raw_adv_std"] = raw_std
+        traj["normalized_advantages"] = standardized(blended, mask)
+        traj["global_advantages"] = standardized(glb_adv, mask)
+        return traj
+
+    # ---- the meta-update -------------------------------------------------
+    def extra_update(self, state: CoPOTrainState, traj, stats):
+        cfg = self.cfg
+        T, B, N = traj["valid"].shape
+        M = T * B * N
+        keys = [
+            "obs", "actions", "logp_old", "global_advantages",
+            "advantages", "nei_advantage", "valid",
+        ]
+        data = {k: traj[k].reshape((M,) + traj[k].shape[3:]) for k in keys}
+        mb = cfg.lcf_sgd_minibatch_size or cfg.sgd_minibatch_size
+        mb = min(mb, M)
+        nmb = max(M // mb, 1)
+        chunks = jax.tree_util.tree_map(
+            lambda x: x[: nmb * mb].reshape((nmb, mb) + x.shape[1:]), data
+        )
+
+        params = state.params
+        target_params = state.target_params
+        raw_mean, raw_std = traj["raw_adv_mean"], traj["raw_adv_std"]
+        clip_param = cfg.loss.clip_param
+        lcf_tx = self.lcf_tx
+
+        key, k_meta = jax.random.split(state.key)
+
+        def mb_fn(carry, xs):
+            lcf_params, opt_state = carry
+            batch, k = xs
+            lcf_grad, meta_stats = meta_gradient(
+                dict(params, lcf=lcf_params), target_params, batch,
+                clip_param, raw_mean, raw_std, k,
+            )
+            updates, opt_state = lcf_tx.update(lcf_grad, opt_state, lcf_params)
+            lcf_params = optax.apply_updates(lcf_params, updates)
+            return (lcf_params, opt_state), meta_stats
+
+        def iter_fn(carry, k_iter):
+            mb_keys = jax.random.split(k_iter, nmb)
+            return jax.lax.scan(mb_fn, carry, (chunks, mb_keys))
+
+        iter_keys = jax.random.split(k_meta, cfg.lcf_num_iters)
+        (lcf_params, lcf_opt_state), meta_stats = jax.lax.scan(
+            iter_fn, (state.params["lcf"], state.lcf_opt_state), iter_keys
+        )
+        meta_stats = jax.tree_util.tree_map(jnp.mean, meta_stats)
+
+        new_params = dict(state.params, lcf=lcf_params)
+        new_mean, new_std = lcf_mean(new_params), lcf_std(new_params)
+        # broadcast: old policy <- new policy; env LCF dist <- learned dist
+        # (`algo_copo.py:596-613` — here a pure state update)
+        new_state = state.replace(
+            params=new_params,
+            target_params=jax.tree_util.tree_map(jnp.copy, new_params),
+            lcf_opt_state=lcf_opt_state,
+            env_params=state.env_params.replace(lcf_mean=new_mean, lcf_std=new_std),
+            key=key,
+        )
+        extra = {
+            **meta_stats,
+            "lcf": new_mean,
+            "lcf_deg": new_mean * 90.0,
+            "lcf_std": new_std,
+            "raw_lcf_adv_mean": raw_mean,
+            "raw_lcf_adv_std": raw_std,
+        }
+        return new_state, extra

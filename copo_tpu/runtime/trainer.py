@@ -1,0 +1,221 @@
+"""PPO trainer family: rollout -> GAE -> SGD as one jit-compiled iteration.
+
+Replaces the reference's Ray/RLlib execution plan (`algo_copo/copo.py:560-611`
+ParallelRollouts -> StandardizeFields -> TrainTFMultiGPU -> UpdateSvo; torch
+`training_step` `algo_copo.py:516-661`) with a single traced program per
+iteration. No weight broadcast exists: params are replicated by sharding, and
+"pushing LCF to envs" is writing a field of EnvParams.
+
+IPPOTrainer here == reference IPPO (`algo_ippo/ippo.py`, `torch_copo/
+algo_ippo.py`): shared policy over all agents, native reward stream, one
+value head. CCPPO/CoPO subclass by widening value heads / advantage blending.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from copo_tpu.algos.gae import masked_gae
+from copo_tpu.algos.ppo import PPOLossConfig, masked_mean, ppo_loss, update_kl_coeff
+from copo_tpu.envs.config import EnvConfig, EnvParams
+from copo_tpu.envs.engine import vec_reset
+from copo_tpu.envs.scene import SceneData
+from copo_tpu.models.mlp import init_model
+from copo_tpu.runtime.metrics import rollout_metrics
+from copo_tpu.runtime.rollout import collect_rollout, ego_cc_obs
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainerConfig:
+    """Static trainer config (reference defaults, SURVEY.md §2.3 item 10)."""
+
+    num_envs: int = 8
+    rollout_T: int = 100           # rollout_fragment_length analogue
+    gamma: float = 0.99
+    lam: float = 0.95
+    lr: float = 3e-4
+    num_sgd_iter: int = 5
+    sgd_minibatch_size: int = 512
+    kl_coeff_init: float = 0.2
+    loss: PPOLossConfig = PPOLossConfig()
+    seed: int = 0
+
+
+@struct.dataclass
+class TrainState:
+    params: dict
+    opt_state: object
+    kl_coeff: jnp.ndarray
+    env_states: object          # batched EnvState
+    last_obs: jnp.ndarray       # (B, N, obs_dim)
+    env_params: EnvParams
+    key: jnp.ndarray
+    iteration: jnp.ndarray      # () int32 (cumulative step counters live on
+                                # host: float32 in-jit counters lose precision
+                                # past 16M steps; see Trainer.train)
+
+
+def standardized(x, mask):
+    """Masked standardization (reference `standardized()` on the train batch)."""
+    m = masked_mean(x, mask)
+    var = masked_mean(jnp.square(x - m), mask)
+    return (x - m) * mask / jnp.maximum(jnp.sqrt(var), 1e-4)
+
+
+class IPPOTrainer:
+    """Independent PPO with one shared policy over every agent slot."""
+
+    value_heads = ("vf",)
+
+    def __init__(self, scene: SceneData, env_cfg: EnvConfig, cfg: TrainerConfig):
+        self.scene = scene
+        self.env_cfg = env_cfg
+        self.cfg = cfg
+        self.tx = optax.adam(cfg.lr, eps=1e-7)
+        self._jit_train_iter = jax.jit(self._train_iter)
+
+    # ---- hooks for subclasses (CCPPO / CoPO) -----------------------------
+    def cc_obs_fn(self) -> Callable:
+        return ego_cc_obs
+
+    def model_kwargs(self) -> dict:
+        return {"num_value_heads": 1}
+
+    def compute_advantages(self, traj, last_values):
+        """Fill traj['normalized_advantages'] and per-head targets."""
+        cfg = self.cfg
+        adv, target = masked_gae(
+            traj["reward"], traj["vf_pred"], traj["done"], traj["valid"],
+            last_values["vf"], gamma=cfg.gamma, lam=cfg.lam,
+        )
+        mask = traj["valid"].astype(jnp.float32)
+        traj["advantages"] = adv
+        traj["vf_target"] = target
+        traj["normalized_advantages"] = standardized(adv, mask)
+        return traj
+
+    def extra_update(self, state: TrainState, traj, stats) -> tuple:
+        """Post-SGD hook (CoPO meta-update). Returns (state, extra_stats)."""
+        return state, {}
+
+    # ---- lifecycle -------------------------------------------------------
+    def init_state(self, key=None) -> TrainState:
+        key = jax.random.PRNGKey(self.cfg.seed) if key is None else key
+        k_model, k_env, k_loop = jax.random.split(key, 3)
+        env_params = self.default_env_params()
+        env_keys = jax.random.split(k_env, self.cfg.num_envs)
+        env_states, obs = jax.jit(vec_reset, static_argnums=(1,))(
+            self.scene, self.env_cfg, env_keys, env_params
+        )
+        params = init_model(
+            k_model, self.env_cfg.obs_dim, self.env_cfg.action_dim,
+            **self.model_kwargs(),
+        )
+        return TrainState(
+            params=params,
+            opt_state=self.tx.init(params),
+            kl_coeff=jnp.float32(self.cfg.kl_coeff_init),
+            env_states=env_states,
+            last_obs=obs,
+            env_params=env_params,
+            key=k_loop,
+            iteration=jnp.int32(0),
+        )
+
+    def default_env_params(self) -> EnvParams:
+        return EnvParams.default(self.env_cfg.num_agents)
+
+    # ---- the jitted iteration -------------------------------------------
+    def _train_iter(self, state: TrainState):
+        cfg, env_cfg, scene = self.cfg, self.env_cfg, self.scene
+        key, k_roll, k_sgd = jax.random.split(state.key, 3)
+
+        env_states, obs_T, traj, last_values = collect_rollout(
+            scene, env_cfg, state.params, state.env_states, state.last_obs,
+            state.env_params, k_roll, cfg.rollout_T,
+            value_heads=self.value_heads, cc_obs_fn=self.cc_obs_fn(),
+        )
+        traj = self.compute_advantages(traj, last_values)
+        metrics = rollout_metrics(traj)
+
+        # ---- SGD over shuffled minibatches (train_one_step analogue) ----
+        flat_keys = [
+            "obs", "cc_obs", "actions", "logp_old", "dist_mean_old",
+            "dist_log_std_old", "normalized_advantages", "valid",
+        ] + [f"{h}_pred" for h in self.value_heads] \
+          + [f"{h}_target" for h in self.value_heads]
+        T, B, N = traj["valid"].shape
+        M = T * B * N
+        data = {
+            k: traj[k].reshape((M,) + traj[k].shape[3:]) for k in flat_keys
+        }
+        mb = min(cfg.sgd_minibatch_size, M)
+        nmb = max(M // mb, 1)
+
+        loss_cfg = cfg.loss
+        value_heads = self.value_heads
+        tx = self.tx
+
+        def epoch_fn(carry, k):
+            params, opt_state = carry
+            perm = jax.random.permutation(k, M)
+            shuffled = jax.tree_util.tree_map(
+                lambda x: x[perm][: nmb * mb].reshape((nmb, mb) + x.shape[1:]), data
+            )
+
+            def mb_fn(carry, batch):
+                params, opt_state = carry
+                (_, stats), grads = jax.value_and_grad(ppo_loss, has_aux=True)(
+                    params, batch, loss_cfg, state.kl_coeff, value_heads=value_heads
+                )
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), stats
+
+            (params, opt_state), stats = jax.lax.scan(mb_fn, (params, opt_state), shuffled)
+            return (params, opt_state), jax.tree_util.tree_map(jnp.mean, stats)
+
+        sgd_keys = jax.random.split(k_sgd, cfg.num_sgd_iter)
+        (params, opt_state), sgd_stats = jax.lax.scan(
+            epoch_fn, (state.params, state.opt_state), sgd_keys
+        )
+        sgd_stats = jax.tree_util.tree_map(lambda x: x[-1], sgd_stats)  # last epoch
+
+        kl_coeff = update_kl_coeff(
+            state.kl_coeff, sgd_stats["kl"], loss_cfg.kl_target
+        )
+
+        new_state = state.replace(
+            params=params,
+            opt_state=opt_state,
+            kl_coeff=kl_coeff,
+            env_states=env_states,
+            last_obs=obs_T,
+            key=key,
+            iteration=state.iteration + 1,
+        )
+        new_state, extra = self.extra_update(new_state, traj, sgd_stats)
+        metrics = {
+            **metrics, **sgd_stats, **extra,
+            "kl_coeff": kl_coeff,
+            "env_steps_this_iter": jnp.float32(T * B),
+            "agent_steps_this_iter": jnp.sum(traj["valid"]).astype(jnp.float32),
+        }
+        return new_state, metrics
+
+    def train_iter(self, state: TrainState):
+        """One training iteration (jit-cached). Returns (state, metrics)."""
+        return self._jit_train_iter(state)
+
+    def train(self, state: TrainState, num_iters: int, log_fn=None):
+        for _ in range(num_iters):
+            state, metrics = self.train_iter(state)
+            if log_fn is not None:
+                log_fn(state, metrics)
+        return state, metrics
