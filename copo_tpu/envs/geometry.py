@@ -55,6 +55,28 @@ def arc(center, radius: float, a0: float, a1: float, step_deg: float = 3.0) -> n
     return (center[None] + radius * np.stack([np.cos(ang), np.sin(ang)], axis=1)).astype(np.float32)
 
 
+def hermite(p0, d0, p1, d1, n: int = 16) -> np.ndarray:
+    """Cubic Hermite blend from p0 (tangent dir d0) to p1 (tangent dir d1).
+
+    Tangent-continuous transition curve (used to merge lanes onto ring
+    roads / ramps). Tangent magnitudes are scaled by the chord length.
+    """
+    p0 = np.asarray(p0, np.float64)
+    p1 = np.asarray(p1, np.float64)
+    d0 = np.asarray(d0, np.float64)
+    d1 = np.asarray(d1, np.float64)
+    d0 = d0 / (np.linalg.norm(d0) + 1e-12)
+    d1 = d1 / (np.linalg.norm(d1) + 1e-12)
+    chord = np.linalg.norm(p1 - p0)
+    m0, m1 = d0 * chord, d1 * chord
+    t = np.linspace(0.0, 1.0, n)[:, None]
+    h00 = 2 * t**3 - 3 * t**2 + 1
+    h10 = t**3 - 2 * t**2 + t
+    h01 = -2 * t**3 + 3 * t**2
+    h11 = t**3 - t**2
+    return (h00 * p0 + h10 * m0 + h01 * p1 + h11 * m1).astype(np.float32)
+
+
 def join_polylines(*parts: np.ndarray) -> np.ndarray:
     """Concatenate polyline parts, dropping duplicated joints."""
     out = [np.asarray(parts[0], dtype=np.float32)]

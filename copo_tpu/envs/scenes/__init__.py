@@ -11,10 +11,22 @@ from __future__ import annotations
 import functools
 
 from copo_tpu.envs.scenes.intersection import build_intersection
+from copo_tpu.envs.scenes.roundabout import build_roundabout
+from copo_tpu.envs.scenes.bottleneck import build_bottleneck
+from copo_tpu.envs.scenes.tollgate import build_tollgate
+from copo_tpu.envs.scenes.parking import build_parking
+from copo_tpu.envs.scenes.pg_map import build_pg_map
 
 
+#: reference env classes -> builders (SURVEY.md §2.2; "pgmap" =
+#: MultiAgentMetaDrive with procedural maps)
 SCENE_BUILDERS = {
     "intersection": build_intersection,
+    "roundabout": build_roundabout,
+    "bottleneck": build_bottleneck,
+    "tollgate": build_tollgate,
+    "parking": build_parking,
+    "pgmap": build_pg_map,
 }
 
 

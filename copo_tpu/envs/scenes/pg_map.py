@@ -1,0 +1,94 @@
+"""Procedurally-generated map scene (TPU-native MultiAgentMetaDrive "PG Map").
+
+Reference: `MultiAgentMetaDrive` with procedural maps (SURVEY.md §2.2;
+train scripts sweep `start_seed`, and MetaDrive's PG block sampler composes
+straight/curve blocks per seed). Here: a seeded block-sequence generator
+(straights and left/right arcs with drivable radii) composed into a 3-lane
+one-directional road; different seeds give different maps, matching the
+reference's seed-indexed map generation role.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from copo_tpu.envs import geometry as geo
+from copo_tpu.envs.config import EnvConfig
+from copo_tpu.envs.scene import SceneBuildSpec, compile_scene
+
+LANE_W = 3.5
+LANES = (-3.5, 0.0, 3.5)
+ROAD_HW = 5.25
+NUM_BLOCKS = 5
+
+
+def _generate_centerline(seed: int):
+    """Seeded sequence of straight / arc blocks -> dense centerline."""
+    rng = np.random.RandomState(seed)
+    pts = [np.array([0.0, 0.0]), np.array([10.0, 0.0])]
+    heading = 0.0
+    for _ in range(NUM_BLOCKS):
+        kind = rng.choice(["straight", "curve"])
+        if kind == "straight":
+            length = rng.uniform(40.0, 80.0)
+            d = np.array([np.cos(heading), np.sin(heading)])
+            pts.append(pts[-1] + length * d)
+        else:
+            radius = rng.uniform(18.0, 40.0)
+            angle = np.radians(rng.uniform(30.0, 90.0)) * rng.choice([-1.0, 1.0])
+            # arc from current point, tangent to current heading
+            side = np.sign(angle)
+            center = pts[-1] + radius * np.array(
+                [np.cos(heading + side * np.pi / 2), np.sin(heading + side * np.pi / 2)]
+            )
+            a_start = heading - side * np.pi / 2
+            n = max(3, int(abs(np.degrees(angle)) / 6))
+            for t in np.linspace(0, 1, n)[1:]:
+                a = a_start + angle * t
+                pts.append(center + radius * np.array([np.cos(a), np.sin(a)]))
+            heading += angle
+    return np.array(pts, dtype=np.float64)
+
+
+def build_pg_map(num_agents: int | None = None, map_seed: int = 0, **cfg_overrides):
+    num_agents = 30 if num_agents is None else num_agents
+
+    center = _generate_centerline(map_seed)
+    routes = [geo.offset_polyline(center, off) for off in LANES]
+    half_widths = [(ROAD_HW - off, ROAD_HW + off) for off in LANES]
+
+    # walls: road edges offset from the centerline + end caps
+    e1 = geo.offset_polyline(center, ROAD_HW + 0.25)
+    e2 = geo.offset_polyline(center, -(ROAD_HW + 0.25))
+    caps = [
+        np.stack([e1[0], e2[0]]).astype(np.float32),
+        np.stack([e1[-1], e2[-1]]).astype(np.float32),
+    ]
+    walls = np.concatenate(
+        [geo.polyline_to_walls(p) for p in (e1, e2, *caps)], axis=0
+    )
+
+    # spawns along the first 60% of each lane
+    resampled = [geo.resample_polyline(r) for r in routes]
+    total_len = (len(resampled[0]) - 1) * geo.WAYPOINT_SPACING
+    offsets = np.arange(4.0, total_len * 0.6, 10.0)
+    spawns = []
+    for lane in range(3):
+        for s0 in offsets:
+            spawns.append([(lane, float(s0))])
+
+    allpts = np.concatenate([e1, e2], axis=0)
+    bbox = (
+        float(allpts[:, 0].min() - 6), float(allpts[:, 0].max() + 6),
+        float(allpts[:, 1].min() - 6), float(allpts[:, 1].max() + 6),
+    )
+    spec = SceneBuildSpec(
+        routes=routes,
+        half_widths=half_widths,
+        spawns=spawns,
+        walls=walls,
+        bbox=bbox,
+    )
+    scene = compile_scene(spec)
+    cfg = EnvConfig(num_agents=num_agents, **cfg_overrides)
+    return scene, cfg

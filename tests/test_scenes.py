@@ -1,0 +1,96 @@
+"""All-scene validation: dims parity, geometry drivability, basic stepping.
+
+Obs-dim parity targets from the reference npz first-layer shapes
+(SURVEY.md §2.2): intersection/roundabout/parking 91, bottleneck 96,
+tollgate 156 (+1 with LCF).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from copo_tpu.envs import make_scene
+from copo_tpu.envs.config import EnvParams
+from copo_tpu.envs.engine import DrivingEngine
+from copo_tpu.envs.geometry import WAYPOINT_SPACING
+
+SCENES = ["intersection", "roundabout", "bottleneck", "tollgate", "parking", "pgmap"]
+EXPECTED_OBS = {
+    "intersection": 91,
+    "roundabout": 91,
+    "bottleneck": 96,
+    "tollgate": 156,
+    "parking": 91,
+    "pgmap": 91,
+}
+DEFAULT_AGENTS = {
+    "intersection": 30, "roundabout": 40, "bottleneck": 20,
+    "tollgate": 40, "parking": 10, "pgmap": 30,
+}
+MIN_TURN_RADIUS = 3.0  # bicycle model: wheelbase / tan(max_steering) ~ 3.1
+
+
+@pytest.mark.parametrize("name", SCENES)
+def test_obs_dims_and_defaults(name):
+    scene, cfg = make_scene(name)
+    assert cfg.obs_dim == EXPECTED_OBS[name], name
+    assert cfg.num_agents == DEFAULT_AGENTS[name], name
+
+
+@pytest.mark.parametrize("name", SCENES)
+def test_routes_drivable(name):
+    scene, cfg = make_scene(name)
+    xy = np.asarray(scene.route_xy)
+    n_valid = np.asarray(scene.route_n_valid)
+    for r in range(xy.shape[0]):
+        p = xy[r, : n_valid[r]]
+        seg = np.diff(p, axis=0)
+        # uniform spacing
+        np.testing.assert_allclose(
+            np.linalg.norm(seg, axis=1), WAYPOINT_SPACING, atol=5e-2,
+            err_msg=f"{name} route {r} spacing",
+        )
+        h = np.arctan2(seg[:, 1], seg[:, 0])
+        dh = np.abs(np.arctan2(np.sin(np.diff(h)), np.cos(np.diff(h))))
+        curv = dh / WAYPOINT_SPACING
+        radius = 1.0 / max(curv.max(), 1e-9)
+        assert radius > MIN_TURN_RADIUS, f"{name} route {r}: min radius {radius:.1f} m"
+
+
+@pytest.mark.parametrize("name", SCENES)
+def test_scene_steps(name):
+    scene, cfg = make_scene(name, num_agents=6, horizon=100)
+    eng = DrivingEngine(scene, cfg)
+    params = EnvParams.default(cfg.num_agents)
+    state, obs = eng.reset(jax.random.PRNGKey(0), params)
+    assert obs.shape == (6, cfg.obs_dim)
+    assert int(jnp.sum(state.alive)) > 0
+    for _ in range(10):
+        state, out = eng.step(
+            state, jnp.tile(jnp.array([0.0, 0.6]), (cfg.num_agents, 1)), params
+        )
+    assert bool(jnp.all(jnp.isfinite(out.obs)))
+    o = np.asarray(out.obs)
+    assert o.min() >= -1e-5 and o.max() <= 1.0 + 1e-5
+
+
+def test_pg_map_seeds_differ():
+    s0, _ = make_scene("pgmap", map_seed=0)
+    s1, _ = make_scene("pgmap", map_seed=1)
+    assert s0.route_xy.shape != s1.route_xy.shape or not np.allclose(
+        np.asarray(s0.route_xy)[:, :10], np.asarray(s1.route_xy)[:, :10]
+    )
+
+
+def test_spawn_capacity():
+    # every scene must be able to host its default agent count at reset
+    for name in SCENES:
+        scene, cfg = make_scene(name)
+        eng = DrivingEngine(scene, cfg)
+        params = EnvParams.default(cfg.num_agents)
+        state, _ = eng.reset(jax.random.PRNGKey(1), params)
+        spawned = int(jnp.sum(state.alive))
+        assert spawned >= min(cfg.num_agents, scene.num_spawns) * 0.5, (
+            name, spawned, cfg.num_agents, scene.num_spawns,
+        )
