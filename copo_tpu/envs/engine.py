@@ -53,6 +53,7 @@ class EnvState:
     next_uid: jnp.ndarray     # () int32
     steps: jnp.ndarray        # (N,) int32 steps since spawn
     ep_reward: jnp.ndarray    # (N,) float32 accumulated reward since spawn
+    ep_nei_reward: jnp.ndarray  # (N,) float32 accumulated neighbour-mean reward
     ep_cost: jnp.ndarray      # (N,) float32 accumulated cost since spawn
     lcf: jnp.ndarray          # (N,) float32 in [-1, 1]
 
@@ -89,6 +90,7 @@ class StepInfo:
     episode_length: jnp.ndarray  # (N,) int32
     episode_reward: jnp.ndarray  # (N,) float32
     episode_cost: jnp.ndarray   # (N,) float32 accumulated cost since spawn
+    episode_nei_reward: jnp.ndarray  # (N,) float32 accumulated nei-mean reward
     route_completion: jnp.ndarray  # (N,) float32
 
 
@@ -176,6 +178,7 @@ def _respawn(scene: SceneData, cfg: EnvConfig, state: EnvState, params: EnvParam
             next_uid=state.next_uid + jnp.sum(will_spawn),
             steps=sel(jnp.zeros((N,), jnp.int32), state.steps),
             ep_reward=sel(jnp.zeros((N,)), state.ep_reward),
+            ep_nei_reward=sel(jnp.zeros((N,)), state.ep_nei_reward),
             ep_cost=sel(jnp.zeros((N,)), state.ep_cost),
             lcf=sel(new_lcf, state.lcf),
         )
@@ -191,7 +194,7 @@ def _empty_state(cfg: EnvConfig, key) -> EnvState:
             route=zi, waypoint_idx=zi, s=zf, spawn_s=zf, lateral=zf, lane_heading=zf,
             alive=jnp.zeros((N,), bool), dead_timer=zi,
             uid=jnp.full((N,), -1, jnp.int32), next_uid=jnp.int32(0),
-            steps=zi, ep_reward=zf, ep_cost=zf, lcf=zf,
+            steps=zi, ep_reward=zf, ep_nei_reward=zf, ep_cost=zf, lcf=zf,
             t=jnp.int32(0), key=key,
         )
 
@@ -321,6 +324,7 @@ def engine_step(scene: SceneData, cfg: EnvConfig, state: EnvState, actions,
         dead_timer = jnp.where(new_wreck, cfg.delay_done, jnp.maximum(state.dead_timer - 1, 0))
 
         ep_reward = state.ep_reward + reward
+        ep_nei_reward = state.ep_nei_reward + nei_reward
         ep_cost = state.ep_cost + cost
         route_completion = jnp.clip(
             (s_new - state.spawn_s) / jnp.maximum(route_len - state.spawn_s, 1e-3), 0.0, 1.0
@@ -334,8 +338,8 @@ def engine_step(scene: SceneData, cfg: EnvConfig, state: EnvState, actions,
             lateral=jnp.where(alive0, lateral, state.lateral),
             lane_heading=jnp.where(alive0, lane_heading, state.lane_heading),
             alive=alive1, dead_timer=dead_timer,
-            steps=steps_new, ep_reward=ep_reward, ep_cost=ep_cost,
-            t=t_new, key=key,
+            steps=steps_new, ep_reward=ep_reward, ep_nei_reward=ep_nei_reward,
+            ep_cost=ep_cost, t=t_new, key=key,
         )
         stepped = _respawn(scene, cfg, stepped, params, k_step)
 
@@ -349,6 +353,7 @@ def engine_step(scene: SceneData, cfg: EnvConfig, state: EnvState, actions,
             cost=cost, lcf=state.lcf,
             velocity=speed, steering=actions[..., 0], acceleration=actions[..., 1],
             episode_length=steps_new, episode_reward=ep_reward, episode_cost=ep_cost,
+            episode_nei_reward=ep_nei_reward,
             route_completion=route_completion,
         )
 

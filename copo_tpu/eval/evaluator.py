@@ -1,0 +1,149 @@
+"""Policy evaluation: the RecorderEnv + eval.py pipeline, on device.
+
+Parity: `eval/recoder.py:16-355` + `eval.py:27-242` (SURVEY.md §2.1 items
+20-21). Each evaluation episode runs the env for its horizon (agents respawn
+mid-episode exactly as in training/reference eval), then reports the
+reference's episode-level metrics: success/crash/out/max-step rates over all
+spawned agents, reward/cost stats, and the **estimated empirical SVO** per
+finished agent, phi_hat = atan2(total nei reward, total own reward)
+(`recoder.py:318-343`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from copo_tpu.envs.config import EnvConfig, EnvParams
+from copo_tpu.envs.engine import engine_reset, engine_step
+from copo_tpu.envs.scene import SceneData
+from copo_tpu.models.mlp import DiagGaussian, policy_logits
+
+
+def make_policy_fn(deterministic: bool = False):
+    """Policy callable (params, obs, key) -> actions.
+
+    Params flow through as a traced argument — never close concrete arrays
+    into the jitted episode (constant-embedding slows XLA compile >100x).
+    """
+
+    def policy_fn(params, obs, key):
+        mean, log_std = policy_logits(params, obs)
+        if deterministic:
+            return mean
+        return DiagGaussian.sample(key, mean, log_std)
+
+    return policy_fn
+
+
+def _episode(scene: SceneData, cfg: EnvConfig, policy_fn, policy_params,
+             env_params, key):
+    """One full eval episode (horizon steps). Returns accumulated stats."""
+    k_reset, k_run = jax.random.split(key)
+    state, obs = engine_reset(scene, cfg, k_reset, env_params)
+    init_agents = state.next_uid
+
+    def step_fn(carry, k):
+        state, obs = carry
+        act = policy_fn(policy_params, obs, k)
+        state, out = engine_step(scene, cfg, state, act, env_params, False)
+        i = out.info
+        done = out.done & i.valid
+        rec = {
+            "done": done,
+            "arrive": i.arrive_dest, "crash": i.crash, "oor": i.out_of_road,
+            "max_step": i.max_step,
+            "ep_reward_at_done": jnp.where(done, i.episode_reward, 0.0),
+            "ep_cost_at_done": jnp.where(done, i.episode_cost, 0.0),
+            "ep_len_at_done": jnp.where(done, i.episode_length, 0),
+            "ep_nei_at_done": jnp.where(done, i.episode_nei_reward, 0.0),
+            "rc_at_done": jnp.where(done, i.route_completion, 0.0),
+            "velocity": jnp.where(i.valid, i.velocity, 0.0),
+            "valid": i.valid,
+        }
+        return (state, out.obs), rec
+
+    keys = jax.random.split(k_run, cfg.horizon)
+    (state, _), rec = jax.lax.scan(step_fn, (state, obs), keys)
+    return {
+        "total_agents": state.next_uid,
+        "initial_agents": init_agents,
+        **{k: v for k, v in rec.items()},
+    }
+
+
+_jit_episode = jax.jit(_episode, static_argnums=(1, 2))
+
+
+def episode_result(raw) -> dict:
+    """Reduce raw per-step arrays to the reference's episode report columns."""
+    done = np.asarray(raw["done"])
+    n_done = max(int(done.sum()), 1)
+    total = float(raw["total_agents"])
+
+    def done_sum(k):
+        return float(np.asarray(raw[k]).sum())
+
+    def done_mean(k):
+        return float(np.asarray(raw[k]).sum() / n_done)
+
+    arrive = done_sum("arrive")
+    crash = done_sum("crash")
+    oor = done_sum("oor")
+    # estimated empirical SVO per finished agent (recoder.py:318-343)
+    ep_r = np.asarray(raw["ep_reward_at_done"])[done]
+    ep_nei = np.asarray(raw["ep_nei_at_done"])[done]
+    svo_est = np.degrees(np.arctan2(ep_nei, np.maximum(np.abs(ep_r), 1e-6)))
+
+    valid = np.asarray(raw["valid"])
+    vel = np.asarray(raw["velocity"])
+    return {
+        "success_rate": arrive / max(total, 1.0),
+        "crash_rate": crash / max(total, 1.0),
+        "out_of_road_rate": oor / max(total, 1.0),
+        "max_step_rate": done_sum("max_step") / max(total, 1.0),
+        "num_agents_total": total,
+        "num_agents_finished": float(done.sum()),
+        "episode_reward_mean": done_mean("ep_reward_at_done"),
+        "episode_reward_min": float(ep_r.min()) if len(ep_r) else 0.0,
+        "episode_reward_max": float(ep_r.max()) if len(ep_r) else 0.0,
+        "episode_cost_mean": done_mean("ep_cost_at_done"),
+        "episode_length_mean": done_mean("ep_len_at_done"),
+        "route_completion_mean": done_mean("rc_at_done"),
+        "velocity_mean": float(vel.sum() / max(valid.sum(), 1)),
+        "estimated_svo_mean_deg": float(svo_est.mean()) if len(svo_est) else 0.0,
+        "estimated_svo_std_deg": float(svo_est.std()) if len(svo_est) else 0.0,
+    }
+
+
+def evaluate_policy(scene: SceneData, cfg: EnvConfig, params_or_policy,
+                    num_episodes: int = 20, seed: int = 0,
+                    env_params: EnvParams | None = None,
+                    deterministic: bool = False) -> list[dict]:
+    """Evaluate a policy for `num_episodes`; one result row per episode.
+
+    `params_or_policy` is a model params pytree or a (params, obs, key)->act
+    callable (params will be None for a self-contained callable).
+    """
+    if callable(params_or_policy):
+        policy_fn, policy_params = params_or_policy, None
+    else:
+        policy_fn = make_policy_fn(deterministic)
+        policy_params = params_or_policy
+    env_params = env_params or EnvParams.default(cfg.num_agents)
+
+    rows = []
+    for ep in range(num_episodes):
+        raw = _jit_episode(scene, cfg, policy_fn, policy_params, env_params,
+                           jax.random.PRNGKey(seed * 1000 + ep))
+        row = episode_result(jax.device_get(raw))
+        row["episode"] = ep
+        rows.append(row)
+    return rows
+
+
+def summarize(rows: list[dict]) -> dict:
+    """Mean over episode rows (the reference averages CSV rows per ckpt)."""
+    keys = [k for k in rows[0] if k != "episode"]
+    return {k: float(np.mean([r[k] for r in rows])) for k in keys}

@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Evaluate checkpoints to CSV (reference eval.py / evaluate_population.py).
+
+Walks an experiment dir of trial folders, evaluates the latest/best
+checkpoint of each for N episodes, writes evaluate_results/*.csv with the
+RecorderEnv columns (SURVEY.md §2.1 item 21).
+
+Also evaluates reference-format npz policy files directly:
+  python scripts/evaluate.py --npz path/to/copo_inter.npz --env intersection
+"""
+
+import argparse
+import csv
+import json
+import os
+import sys
+
+sys.path.insert(0, ".")
+
+from copo_tpu.envs import make_scene
+from copo_tpu.eval.evaluator import evaluate_policy, summarize
+from copo_tpu.eval.npz import load_policy_npz
+
+
+def eval_trial(trial_dir, num_episodes, out_rows):
+    from copo_tpu.runtime.checkpoint import latest_checkpoint, restore_checkpoint
+    from scripts.train import make_trainer  # reuse config plumbing
+
+    with open(os.path.join(trial_dir, "params.json")) as f:
+        params_json = json.load(f)
+    env_name = None
+    for cand in ("intersection", "roundabout", "bottleneck", "tollgate",
+                 "parking", "pgmap"):
+        if cand in trial_dir:
+            env_name = cand
+    assert env_name, f"cannot infer env from {trial_dir}"
+    lcf = params_json["env"].get("lcf_enabled", False)
+    scene, cfg = make_scene(env_name, lcf_enabled=lcf) if lcf else make_scene(env_name)
+
+    ckpt = latest_checkpoint(os.path.join(trial_dir, "checkpoints"))
+    if ckpt is None:
+        print(f"  no checkpoint in {trial_dir}")
+        return
+    # rebuild a state template via the recorded algo
+    algo = params_json.get("algo", "IPPOTrainer")
+    ns = argparse.Namespace(
+        algo={"IPPOTrainer": "ippo", "IPPOCLTrainer": "cl",
+              "CCPPOTrainer": "ccppo", "CoPOTrainer": "copo"}[algo],
+        env=env_name, fuse="mf", num_agents=None, num_envs=2, rollout_T=4,
+        lr=3e-4, seed=0, test=True,
+    )
+    from scripts.train import make_trainer as mk
+    trainer = mk(ns)
+    state = restore_checkpoint(ckpt, trainer.init_state())
+
+    rows = evaluate_policy(scene, cfg, state.params, num_episodes=num_episodes)
+    s = summarize(rows)
+    s["trial"] = os.path.basename(trial_dir)
+    s["checkpoint"] = os.path.basename(ckpt)
+    out_rows.append(s)
+    print(f"  {s['trial']}: success={s['success_rate']:.3f}")
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--root", type=str, default=None, help="experiment dir")
+    p.add_argument("--npz", type=str, default=None, help="reference npz policy")
+    p.add_argument("--env", type=str, default="intersection")
+    p.add_argument("--num-episodes", type=int, default=20)
+    p.add_argument("--out", type=str, default="evaluate_results")
+    args = p.parse_args()
+
+    os.makedirs(args.out, exist_ok=True)
+    out_rows = []
+    if args.npz:
+        params = load_policy_npz(args.npz)
+        scene, cfg = make_scene(args.env)
+        rows = evaluate_policy(scene, cfg, params, num_episodes=args.num_episodes)
+        s = summarize(rows)
+        s["trial"] = os.path.basename(args.npz)
+        out_rows.append(s)
+        print(json.dumps(s, indent=2))
+    elif args.root:
+        for trial in sorted(os.listdir(args.root)):
+            tdir = os.path.join(args.root, trial)
+            if os.path.isdir(tdir) and os.path.exists(
+                os.path.join(tdir, "params.json")
+            ):
+                eval_trial(tdir, args.num_episodes, out_rows)
+    if out_rows:
+        path = os.path.join(args.out, "evaluate_results.csv")
+        with open(path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=sorted(out_rows[0]))
+            w.writeheader()
+            w.writerows(out_rows)
+        print("wrote", path)

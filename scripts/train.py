@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""General training entry point (reference L6 CLI, SURVEY.md §1).
+
+Examples:
+  python scripts/train.py --algo copo --env intersection --num-iters 500
+  python scripts/train.py --algo ippo --env roundabout --test
+  python scripts/train.py --algo ccppo --fuse mf --env bottleneck
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+sys.path.insert(0, ".")  # repo root
+
+from copo_tpu.algos.ccppo import FusionConfig
+from copo_tpu.envs import make_scene
+from copo_tpu.runtime.ccppo import CCPPOConfig, CCPPOTrainer
+from copo_tpu.runtime.copo import CoPOConfig, CoPOTrainer
+from copo_tpu.runtime.curriculum import CLConfig, IPPOCLTrainer
+from copo_tpu.runtime.harness import run_trial
+from copo_tpu.runtime.trainer import IPPOTrainer, TrainerConfig
+
+ALGOS = ("ippo", "ccppo", "copo", "cl")
+ENVS = ("intersection", "roundabout", "bottleneck", "tollgate", "parking", "pgmap")
+
+
+def get_parser() -> argparse.ArgumentParser:
+    """Reference parser surface (`train/utils.py:31-39`) + our knobs."""
+    p = argparse.ArgumentParser()
+    p.add_argument("--exp-name", type=str, default="")
+    p.add_argument("--algo", choices=ALGOS, default="ippo")
+    p.add_argument("--env", choices=ENVS, default="intersection")
+    p.add_argument("--fuse", choices=("mf", "concat", "none"), default="mf")
+    p.add_argument("--num-agents", type=int, default=None)
+    p.add_argument("--num-envs", type=int, default=64)
+    p.add_argument("--rollout-T", type=int, default=64)
+    p.add_argument("--num-iters", type=int, default=500)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--checkpoint-freq", type=int, default=10)
+    p.add_argument("--results-root", type=str, default="results")
+    p.add_argument("--test", action="store_true", help="tiny smoke config")
+    return p
+
+
+def make_trainer(args):
+    scene_kwargs = {}
+    if args.algo == "copo":
+        scene_kwargs["lcf_enabled"] = True
+    scene, env_cfg = make_scene(args.env, num_agents=args.num_agents,
+                                **scene_kwargs)
+    common = dict(
+        num_envs=args.num_envs, rollout_T=args.rollout_T, lr=args.lr,
+        seed=args.seed,
+    )
+    if args.test:
+        common.update(num_envs=2, rollout_T=10, sgd_minibatch_size=32,
+                      num_sgd_iter=2)
+    if args.algo == "ippo":
+        return IPPOTrainer(scene, env_cfg, TrainerConfig(**common))
+    if args.algo == "cl":
+        return IPPOCLTrainer(scene, env_cfg,
+                             CLConfig(total_iters=args.num_iters, **common))
+    if args.algo == "ccppo":
+        return CCPPOTrainer(
+            scene, env_cfg,
+            CCPPOConfig(fusion=FusionConfig(fuse_mode=args.fuse), **common),
+        )
+    if args.algo == "copo":
+        return CoPOTrainer(scene, env_cfg, CoPOConfig(**common))
+    raise ValueError(args.algo)
+
+
+def main():
+    args = get_parser().parse_args()
+    exp = args.exp_name or f"{args.algo}_{args.env}_seed{args.seed}"
+    trainer = make_trainer(args)
+    num_iters = 3 if args.test else args.num_iters
+    out = run_trial(
+        trainer, num_iters, f"{args.results_root}/{exp}",
+        checkpoint_freq=0 if args.test else args.checkpoint_freq,
+    )
+    print("best success:", out["best_success"])
+
+
+if __name__ == "__main__":
+    main()
