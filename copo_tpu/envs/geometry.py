@@ -163,6 +163,15 @@ def bake_lidar_field(walls: np.ndarray, bbox, cell: float, num_angles: int,
     cache_key = (walls.tobytes(), tuple(np.asarray(bbox, np.float64)), cell, num_angles, max_dist)
     if cache_key in _FIELD_CACHE:
         return _FIELD_CACHE[cache_key]
+
+    # prefer the C++/OpenMP baker (copo_tpu/native); numpy fallback below
+    from copo_tpu.native import native_bake_lidar_field
+    native = native_bake_lidar_field(walls, bbox, cell, num_angles, max_dist) \
+        if len(walls) else None
+    if native is not None:
+        _FIELD_CACHE[cache_key] = native
+        return native
+
     xmin, xmax, ymin, ymax = bbox
     W = int(np.ceil((xmax - xmin) / cell))
     H = int(np.ceil((ymax - ymin) / cell))

@@ -6,9 +6,10 @@ gate-state channels, `algo_svo/svo_env.py:9,32-45`). A 3-lane road widens
 into a 6-gate toll plaza (booth walls between gates) and contracts back.
 The 65 extra obs dims are reserved as a zero-filled scene block this round.
 
-Vehicles should slow down inside the plaza: a gate speed limit scales the
-speed-reward term there (MetaDrive enforces block speed limits; exact
-tollgate stop semantics live outside the reference repo).
+The narrow 4.2 m gates between booth walls force vehicles to slow and queue
+(the emergent behavior the reference scene tests); MetaDrive's explicit
+block-speed-limit shaping lives outside the reference repo and is tracked as
+a potential round-2 refinement.
 """
 
 from __future__ import annotations

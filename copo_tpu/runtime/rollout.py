@@ -34,6 +34,8 @@ def collect_rollout(scene: SceneData, cfg: EnvConfig, params, env_states, obs0,
     values at the post-rollout observation.
     """
 
+    cc_is_ego = cc_obs_fn is ego_cc_obs  # fuse "none": cc_obs == obs, store once
+
     def step_fn(carry, k):
         env_states, obs = carry
         mean, log_std = policy_logits(params, obs)
@@ -43,7 +45,6 @@ def collect_rollout(scene: SceneData, cfg: EnvConfig, params, env_states, obs0,
         next_states, out = vec_step(scene, cfg, env_states, act, env_params)
         rec = {
             "obs": obs,
-            "cc_obs": cc_obs,
             "actions": act,
             "logp_old": logp,
             "dist_mean_old": mean,
@@ -56,6 +57,8 @@ def collect_rollout(scene: SceneData, cfg: EnvConfig, params, env_states, obs0,
             "step_lcf": out.info.lcf,
             "info": out.info,
         }
+        if not cc_is_ego:
+            rec["cc_obs"] = cc_obs
         for head in value_heads:
             rec[f"{head}_pred"] = value_head(params, head, cc_obs)
         return (next_states, out.obs), rec

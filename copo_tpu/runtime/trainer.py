@@ -43,6 +43,11 @@ class TrainerConfig:
     num_sgd_iter: int = 5
     sgd_minibatch_size: int = 512
     kl_coeff_init: float = 0.2
+    # Minibatch shuffling: "none" = sequential contiguous slices (RLlib's
+    # `minibatches()` semantics and the cheapest on TPU), "once" = one
+    # permutation gather shared by all epochs, "epoch" = fresh permutation
+    # per epoch (costly: full random gather of the train batch each epoch).
+    shuffle: str = "once"
     loss: PPOLossConfig = PPOLossConfig()
     seed: int = 0
 
@@ -78,6 +83,8 @@ class IPPOTrainer:
         self.env_cfg = env_cfg
         self.cfg = cfg
         self.tx = optax.adam(cfg.lr, eps=1e-7)
+        # scene is a jit ARGUMENT: closing device arrays into jit as constants
+        # degrades both compile (>10x) and runtime (>40x on the axon backend)
         self._jit_train_iter = jax.jit(self._train_iter)
 
     # ---- hooks for subclasses (CCPPO / CoPO) -----------------------------
@@ -132,8 +139,8 @@ class IPPOTrainer:
         return EnvParams.default(self.env_cfg.num_agents)
 
     # ---- the jitted iteration -------------------------------------------
-    def _train_iter(self, state: TrainState):
-        cfg, env_cfg, scene = self.cfg, self.env_cfg, self.scene
+    def _train_iter(self, scene, state: TrainState):
+        cfg, env_cfg = self.cfg, self.env_cfg
         key, k_roll, k_sgd = jax.random.split(state.key, 3)
 
         env_states, obs_T, traj, last_values = collect_rollout(
@@ -144,12 +151,17 @@ class IPPOTrainer:
         traj = self.compute_advantages(traj, last_values)
         metrics = rollout_metrics(traj)
 
-        # ---- SGD over shuffled minibatches (train_one_step analogue) ----
+        # ---- SGD over minibatches (train_one_step analogue) ----
         flat_keys = [
-            "obs", "cc_obs", "actions", "logp_old", "dist_mean_old",
+            "obs", "actions", "logp_old", "dist_mean_old",
             "dist_log_std_old", "normalized_advantages", "valid",
         ] + [f"{h}_pred" for h in self.value_heads] \
           + [f"{h}_target" for h in self.value_heads]
+        # cc_obs == ego obs for IPPO / fuse "none": rollout stored it once
+        # (it is the largest array in the batch)
+        cc_is_ego = "cc_obs" not in traj
+        if not cc_is_ego:
+            flat_keys.append("cc_obs")
         T, B, N = traj["valid"].shape
         M = T * B * N
         data = {
@@ -162,15 +174,25 @@ class IPPOTrainer:
         value_heads = self.value_heads
         tx = self.tx
 
+        if cfg.shuffle == "once":
+            perm = jax.random.permutation(k_sgd, M)
+            data = jax.tree_util.tree_map(lambda x: x[perm], data)
+
         def epoch_fn(carry, k):
             params, opt_state = carry
-            perm = jax.random.permutation(k, M)
-            shuffled = jax.tree_util.tree_map(
-                lambda x: x[perm][: nmb * mb].reshape((nmb, mb) + x.shape[1:]), data
+            if cfg.shuffle == "epoch":
+                perm = jax.random.permutation(k, M)
+                epoch_data = jax.tree_util.tree_map(lambda x: x[perm], data)
+            else:
+                epoch_data = data
+            chunked = jax.tree_util.tree_map(
+                lambda x: x[: nmb * mb].reshape((nmb, mb) + x.shape[1:]), epoch_data
             )
 
             def mb_fn(carry, batch):
                 params, opt_state = carry
+                if cc_is_ego:
+                    batch = dict(batch, cc_obs=batch["obs"])
                 (_, stats), grads = jax.value_and_grad(ppo_loss, has_aux=True)(
                     params, batch, loss_cfg, state.kl_coeff, value_heads=value_heads
                 )
@@ -178,7 +200,7 @@ class IPPOTrainer:
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), stats
 
-            (params, opt_state), stats = jax.lax.scan(mb_fn, (params, opt_state), shuffled)
+            (params, opt_state), stats = jax.lax.scan(mb_fn, (params, opt_state), chunked)
             return (params, opt_state), jax.tree_util.tree_map(jnp.mean, stats)
 
         sgd_keys = jax.random.split(k_sgd, cfg.num_sgd_iter)
@@ -211,7 +233,7 @@ class IPPOTrainer:
 
     def train_iter(self, state: TrainState):
         """One training iteration (jit-cached). Returns (state, metrics)."""
-        return self._jit_train_iter(state)
+        return self._jit_train_iter(self.scene, state)
 
     def train(self, state: TrainState, num_iters: int, log_fn=None):
         for _ in range(num_iters):
