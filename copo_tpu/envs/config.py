@@ -52,14 +52,17 @@ class EnvConfig:
     out_of_road_cost: float = 1.0
     use_lateral_reward: bool = False
 
-    # --- vehicle / dynamics ---
+    # --- vehicle / dynamics (calibrated against the shipped eval CSVs:
+    #     reference vehicles average 14-17 km/h with observed max ~29 km/h,
+    #     `eval/demo_results/evaluate_results/copo_inter_0.csv` velocity
+    #     columns; MetaDrive's `vehicle.speed` is km/h) ---
     vehicle_length: float = 4.5
     vehicle_width: float = 1.85
     wheelbase: float = 2.6
-    max_speed: float = 22.2         # m/s (~80 km/h)
+    max_speed: float = 11.1         # m/s (40 km/h)
     max_steering: float = 0.6981    # rad (40 deg)
-    max_accel: float = 5.0          # m/s^2
-    max_brake: float = 8.0          # m/s^2
+    max_accel: float = 2.5          # m/s^2
+    max_brake: float = 6.0          # m/s^2
     drag_decel: float = 0.4         # m/s^2 rolling/drag deceleration
     steering_smooth: float = 0.6    # low-pass factor toward commanded steering
     dt: float = 0.1                 # seconds per env step (MetaDrive 0.02 x 5)
@@ -75,6 +78,38 @@ class EnvConfig:
 
     # --- scene-specific extra observation dims (bottleneck +5, tollgate +65) ---
     obs_extra_dim: int = 0
+    # "zeros" = reserved block; "detector" = (obs_extra_dim-1) static-obstacle
+    # detector beams + 1 in-zone flag (our equivalent of MetaDrive's
+    # side/lane-line detectors + gate state; exact channels live outside the
+    # reference repo — SURVEY.md §2.2)
+    obs_extra_kind: str = "zeros"
+    # scenes may define a special zone (tollgate plaza / bottleneck throat)
+    # with a speed limit; > 0 enables overspeed penalty inside the zone
+    zone_speed_limit: float = 0.0
+    overspeed_penalty: float = 0.0
+
+    # --- agent-to-agent communication channel (LCFEnv `communication` config,
+    #     env_wrappers.py:44,91-121,363-376; off by default in the reference) ---
+    comm_method: str = "none"       # "none" | "direct"
+    comm_size: int = 4              # message dims appended to the action space
+    comm_neighbours: int = 4        # K nearest senders whose messages we hear
+    add_pos_in_comm: bool = False   # prepend [dis/20, unit-dx, unit-dy] per msg
+
+    # --- global traffic-light signal obs (LCFEnv `add_traffic_light`,
+    #     env_wrappers.py:45-46,258-272; off by default in the reference) ---
+    add_traffic_light: bool = False
+    traffic_light_interval: int = 30
+
+    @property
+    def comm_dim(self) -> int:
+        """Per-message obs dims (comm payload + optional relative-pos tag)."""
+        return self.comm_size + (3 if self.add_pos_in_comm else 0)
+
+    @property
+    def comm_obs_dim(self) -> int:
+        if self.comm_method == "none":
+            return 0
+        return self.comm_dim * self.comm_neighbours
 
     @property
     def base_obs_dim(self) -> int:
@@ -83,11 +118,20 @@ class EnvConfig:
 
     @property
     def obs_dim(self) -> int:
-        return self.base_obs_dim + (1 if self.lcf_enabled else 0)
+        """Full obs layout: base | traffic(3) | lcf(1) | comm(K*comm_dim)
+        (reference append order: env_wrappers.py:279-310)."""
+        d = self.base_obs_dim
+        if self.add_traffic_light:
+            d += 3
+        if self.lcf_enabled:
+            d += 1
+        return d + self.comm_obs_dim
 
     @property
     def action_dim(self) -> int:
-        return 2
+        """Steering + throttle, plus the comm message when the channel is on
+        (env_wrappers.py:71-92: `actions[2:]` is the broadcast message)."""
+        return 2 + (self.comm_size if self.comm_method != "none" else 0)
 
 
 @struct.dataclass

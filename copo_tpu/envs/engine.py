@@ -24,7 +24,7 @@ from copo_tpu.envs.config import EnvConfig, EnvParams
 from copo_tpu.envs.dynamics import step_dynamics, wrap_angle
 from copo_tpu.envs.lidar import lidar_scan
 from copo_tpu.envs.geometry import WAYPOINT_SPACING
-from copo_tpu.envs.observation import build_obs
+from copo_tpu.envs.observation import build_obs, in_zone as obs_in_zone
 from copo_tpu.envs.routing import locate_on_route
 from copo_tpu.envs.scene import SceneData
 
@@ -56,6 +56,8 @@ class EnvState:
     ep_nei_reward: jnp.ndarray  # (N,) float32 accumulated neighbour-mean reward
     ep_cost: jnp.ndarray      # (N,) float32 accumulated cost since spawn
     lcf: jnp.ndarray          # (N,) float32 in [-1, 1]
+    comm_msg: jnp.ndarray     # (N, comm_size | 1 dummy) last broadcast message
+    comm_valid: jnp.ndarray   # (N,) bool — slot broadcast a message this step
 
     t: jnp.ndarray            # () int32 env episode step
     key: jnp.ndarray          # PRNGKey
@@ -84,7 +86,7 @@ class StepInfo:
     num_neighbours: jnp.ndarray  # (N,) int32
     cost: jnp.ndarray           # (N,) float32
     lcf: jnp.ndarray            # (N,) float32
-    velocity: jnp.ndarray       # (N,) float32 m/s
+    velocity: jnp.ndarray       # (N,) float32 km/h (MetaDrive `vehicle.speed` unit)
     steering: jnp.ndarray       # (N,) float32 raw steering action
     acceleration: jnp.ndarray   # (N,) float32 raw throttle action
     episode_length: jnp.ndarray  # (N,) int32
@@ -107,14 +109,16 @@ def _sample_lcf(cfg: EnvConfig, key, shape, params: EnvParams):
         cfg = cfg
         if not cfg.lcf_enabled:
             return jnp.zeros(shape, dtype=jnp.float32)
+        # forced LCF is used verbatim, no noise (env_wrappers.py:402-407)
         forced = params.force_lcf > -99.0
-        mean = jnp.where(forced, params.force_lcf, params.lcf_mean)
         if cfg.lcf_dist == "normal":
-            lcf = mean + params.lcf_std * jax.random.normal(key, shape)
-            return jnp.clip(lcf, -1.0, 1.0)
-        # uniform: forced value is used verbatim (env_wrappers.py:402-407)
-        uni = jax.random.uniform(key, shape, minval=-1.0, maxval=1.0)
-        return jnp.where(forced, jnp.full(shape, mean), uni)
+            lcf = jnp.clip(
+                params.lcf_mean + params.lcf_std * jax.random.normal(key, shape),
+                -1.0, 1.0,
+            )
+        else:
+            lcf = jax.random.uniform(key, shape, minval=-1.0, maxval=1.0)
+        return jnp.where(forced, jnp.full(shape, params.force_lcf), lcf)
 
 def _respawn(scene: SceneData, cfg: EnvConfig, state: EnvState, params: EnvParams, key) -> EnvState:
         """Fill free slots from unoccupied spawn points (vectorized matching)."""
@@ -181,6 +185,8 @@ def _respawn(scene: SceneData, cfg: EnvConfig, state: EnvState, params: EnvParam
             ep_nei_reward=sel(jnp.zeros((N,)), state.ep_nei_reward),
             ep_cost=sel(jnp.zeros((N,)), state.ep_cost),
             lcf=sel(new_lcf, state.lcf),
+            comm_msg=sel(jnp.zeros_like(state.comm_msg), state.comm_msg),
+            comm_valid=state.comm_valid & ~will_spawn,
         )
 
 def _empty_state(cfg: EnvConfig, key) -> EnvState:
@@ -195,6 +201,11 @@ def _empty_state(cfg: EnvConfig, key) -> EnvState:
             alive=jnp.zeros((N,), bool), dead_timer=zi,
             uid=jnp.full((N,), -1, jnp.int32), next_uid=jnp.int32(0),
             steps=zi, ep_reward=zf, ep_nei_reward=zf, ep_cost=zf, lcf=zf,
+            # 1-wide dummy when comm is off (orbax rejects zero-size arrays)
+            comm_msg=jnp.zeros(
+                (N, cfg.comm_size if cfg.comm_method != "none" else 1)
+            ),
+            comm_valid=jnp.zeros((N,), bool),
             t=jnp.int32(0), key=key,
         )
 
@@ -207,6 +218,7 @@ def observe(scene: SceneData, cfg: EnvConfig, state: EnvState):
             last_action=state.last_action, route_idx=state.route, s=state.s,
             lateral=state.lateral, lane_heading=state.lane_heading,
             lidar_block=lidar, lcf=state.lcf,
+            t=state.t, comm_msg=state.comm_msg, comm_valid=state.comm_valid,
         )
 
 def engine_reset(scene: SceneData, cfg: EnvConfig, key, params: EnvParams):
@@ -228,10 +240,13 @@ def engine_step(scene: SceneData, cfg: EnvConfig, state: EnvState, actions,
         # state (jnp.clip propagates NaN).
         actions = jnp.clip(jnp.nan_to_num(actions), -1.0, 1.0)
         actions = jnp.where(alive0[:, None], actions, 0.0)
+        # comm channel: actions[2:] is the broadcast message (env_wrappers.py:91-92)
+        drive = actions[..., :2]
+        comm_msg = actions[..., 2:] if cfg.comm_method != "none" else state.comm_msg
 
         # --- dynamics (frozen for non-alive slots) ---
         pos, heading, speed, steering, yaw_rate = step_dynamics(
-            cfg, state.pos, state.heading, state.speed, state.steering, actions
+            cfg, state.pos, state.heading, state.speed, state.steering, drive
         )
         pos = jnp.where(alive0[:, None], pos, state.pos)
         heading = jnp.where(alive0, wrap_angle(heading), state.heading)
@@ -287,6 +302,15 @@ def engine_step(scene: SceneData, cfg: EnvConfig, state: EnvState, actions,
         native = native + cfg.success_reward * arrive
         native = native - cfg.crash_vehicle_penalty * crash
         native = native - cfg.out_of_road_penalty * out_of_road
+        if cfg.zone_speed_limit > 0.0:
+            # tollgate-style in-zone speed limit (MetaDrive block speed limit
+            # shaping; calibrated equivalent — exact form lives outside the
+            # reference repo)
+            over = jnp.maximum(speed - cfg.zone_speed_limit, 0.0)
+            in_z = obs_in_zone(scene, pos)
+            native = native - cfg.overspeed_penalty * (
+                over / cfg.zone_speed_limit
+            ) * in_z * alive0
         native = jnp.where(valid, native, 0.0)
         cost = cfg.crash_vehicle_cost * crash + cfg.out_of_road_cost * out_of_road
 
@@ -332,7 +356,9 @@ def engine_step(scene: SceneData, cfg: EnvConfig, state: EnvState, actions,
 
         stepped = state.replace(
             pos=pos, heading=heading, speed=speed, steering=steering, yaw_rate=yaw_rate,
-            last_action=jnp.where(valid[:, None], actions, state.last_action),
+            last_action=jnp.where(valid[:, None], drive, state.last_action),
+            comm_msg=jnp.where(valid[:, None], comm_msg, jnp.zeros_like(comm_msg)),
+            comm_valid=valid,
             waypoint_idx=jnp.where(alive0, wp_idx, state.waypoint_idx).astype(jnp.int32),
             s=s_new,
             lateral=jnp.where(alive0, lateral, state.lateral),
@@ -351,7 +377,7 @@ def engine_step(scene: SceneData, cfg: EnvConfig, state: EnvState, actions,
             nei_reward=nei_reward, global_reward=global_reward,
             num_neighbours=n_nei.astype(jnp.int32),
             cost=cost, lcf=state.lcf,
-            velocity=speed, steering=actions[..., 0], acceleration=actions[..., 1],
+            velocity=speed * 3.6, steering=drive[..., 0], acceleration=drive[..., 1],
             episode_length=steps_new, episode_reward=ep_reward, episode_cost=ep_cost,
             episode_nei_reward=ep_nei_reward,
             route_completion=route_completion,

@@ -25,10 +25,9 @@ def beam_angles(cfg: EnvConfig, heading):
     return heading[..., None] + rel
 
 
-def static_lidar(scene: SceneData, cfg: EnvConfig, pos, heading):
-    """Sample the baked field: distances (..., L) to static walls, capped."""
+def sample_field(scene: SceneData, pos, ang, cap):
+    """Sample the baked field at arbitrary absolute angles (..., L)."""
     H, W, A = scene.lidar_field.shape
-    ang = beam_angles(cfg, heading)                              # (..., L)
 
     # fractional grid coordinates (cell centers at +0.5)
     g = (pos - scene.field_origin) / scene.field_cell - 0.5      # (..., 2)
@@ -57,7 +56,25 @@ def static_lidar(scene: SceneData, cfg: EnvConfig, pos, heading):
                 + v10 * (1 - fx) * fy + v11 * fx * fy)
 
     d = bilerp(a0) * (1.0 - fa) + bilerp(a1) * fa
-    return jnp.minimum(d, cfg.lidar_distance)
+    return jnp.minimum(d, cap)
+
+
+def static_lidar(scene: SceneData, cfg: EnvConfig, pos, heading):
+    """Sample the baked field: distances (..., L) to static walls, capped."""
+    return sample_field(scene, pos, beam_angles(cfg, heading), cfg.lidar_distance)
+
+
+def static_detector(scene: SceneData, cfg: EnvConfig, pos, heading, num_beams: int):
+    """Normalized static-obstacle detector ring with an arbitrary beam count.
+
+    Our equivalent of MetaDrive's side/lane-line detectors (static geometry
+    only, no vehicles — matching their semantics of sensing road boundaries
+    and booth walls). Returns (..., num_beams) in [0, 1]; 1 = clear.
+    """
+    rel = 2.0 * jnp.pi * jnp.arange(num_beams, dtype=jnp.float32) / num_beams
+    ang = heading[..., None] + rel
+    d = sample_field(scene, pos, ang, cfg.lidar_distance)
+    return jnp.clip(d / cfg.lidar_distance, 0.0, 1.0)
 
 
 def vehicle_lidar(cfg: EnvConfig, pos, heading, present):

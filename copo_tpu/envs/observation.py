@@ -20,8 +20,13 @@ same information role, simpler static-shape math):
   [9:19]  2 checkpoints x [fwd/50, lat/50, heading diff/pi, curvature/0.2,
           route completion], each mapped to [0,1]
   [19:19+L] lidar distances / range (1 = clear)
-  [...obs_extra_dim] scene-specific block (zeros unless the scene fills it)
-  [-1]  (lcf+1)/2 when cfg.lcf_enabled
+  [...obs_extra_dim] scene-specific block: zeros, or (obs_extra_dim-1)
+          static-detector beams + 1 in-zone flag when obs_extra_kind="detector"
+  [+3]  traffic-light msg + bbox-normalized position when cfg.add_traffic_light
+        (env_wrappers.py:258-272)
+  [+1]  (lcf+1)/2 when cfg.lcf_enabled
+  [+K*comm_dim] neighbours' comm messages when cfg.comm_method != "none"
+        (env_wrappers.py:363-376; append order matches the reference)
 """
 
 from __future__ import annotations
@@ -30,6 +35,7 @@ import jax.numpy as jnp
 
 from copo_tpu.envs.config import EnvConfig
 from copo_tpu.envs.dynamics import wrap_angle
+from copo_tpu.envs.lidar import static_detector
 from copo_tpu.envs.routing import route_point_at
 from copo_tpu.envs.scene import SceneData
 
@@ -64,9 +70,90 @@ def navi_block(scene: SceneData, cfg: EnvConfig, pos, heading, route_idx, s):
     return jnp.stack(feats, axis=-1)
 
 
+def in_zone(scene: SceneData, pos):
+    """Bool (...,): inside the scene's special zone (all-zeros zone = never)."""
+    z = scene.zone
+    has_zone = (z[1] > z[0]) & (z[3] > z[2])
+    inside = (
+        (pos[..., 0] >= z[0]) & (pos[..., 0] <= z[1])
+        & (pos[..., 1] >= z[2]) & (pos[..., 1] <= z[3])
+    )
+    return inside & has_zone
+
+
+def extras_block(scene: SceneData, cfg: EnvConfig, pos, heading):
+    """Scene-specific obs block (..., obs_extra_dim).
+
+    "detector": (obs_extra_dim-1) static-obstacle beams + in-zone flag — our
+    information-equivalent of MetaDrive's side/lane-line detectors and gate
+    state (exact channels live outside the reference repo; SURVEY.md §2.2).
+    """
+    if cfg.obs_extra_kind == "detector" and cfg.obs_extra_dim >= 2:
+        det = static_detector(scene, cfg, pos, heading, cfg.obs_extra_dim - 1)
+        flag = in_zone(scene, pos).astype(jnp.float32)[..., None]
+        return jnp.concatenate([det, flag], axis=-1)
+    return jnp.zeros(pos.shape[:-1] + (cfg.obs_extra_dim,), dtype=jnp.float32)
+
+
+def traffic_light_block(scene: SceneData, cfg: EnvConfig, pos, t):
+    """Global sawtooth traffic-light signal + bbox-normalized position (..., 3)
+    (reference `_traffic_light_msg` / `get_agent_traffic_light_msg`,
+    env_wrappers.py:258-272)."""
+    interval = cfg.traffic_light_interval
+    tf = t.astype(jnp.float32)
+    inc = jnp.mod(tf, interval) / interval * 0.1
+    odd = jnp.mod(jnp.floor_divide(t, interval), 2) == 1
+    msg = jnp.where(odd, inc, 1.0 - inc)
+    b = scene.bbox
+    p0 = (pos[..., 0] - b[0]) / jnp.maximum(b[1] - b[0], 1e-6)
+    p1 = (pos[..., 1] - b[2]) / jnp.maximum(b[3] - b[2], 1e-6)
+    blk = jnp.stack([jnp.broadcast_to(msg, p0.shape), p0, p1], axis=-1)
+    return jnp.clip(blk, 0.0, 1.0)
+
+
+def comm_block(cfg: EnvConfig, pos, heading, comm_msg, sender_valid):
+    """Messages of the K nearest in-radius senders, flattened (N, K*comm_dim).
+
+    Distance-sorted like the reference's neighbour list (env_wrappers.py:
+    129-139); messages are the senders' comm action slice from this step
+    (:91-121); missing slots are zeros; `add_pos_in_comm` appends
+    [dis/20, unit-dx, unit-dy] in the receiver's ego frame per message.
+    """
+    N = pos.shape[0]
+    K = cfg.comm_neighbours
+    diff = pos[None, :, :] - pos[:, None, :]                  # receiver, sender
+    d2 = jnp.sum(diff * diff, axis=-1)
+    pair_ok = (
+        sender_valid[None, :]
+        & ~jnp.eye(N, dtype=bool)
+        & (d2 < cfg.neighbours_distance**2)
+    )
+    d2_sort = jnp.where(pair_ok, d2, jnp.inf)
+    idx = jnp.argsort(d2_sort, axis=1)[:, :K]                 # (N, K)
+    ok = jnp.take_along_axis(d2_sort, idx, axis=1) < jnp.inf  # (N, K)
+    msgs = comm_msg[idx]                                      # (N, K, comm_size)
+    if cfg.add_pos_in_comm:
+        rel = jnp.take_along_axis(diff, idx[..., None], axis=1)   # (N, K, 2)
+        cos_h = jnp.cos(heading)[:, None]
+        sin_h = jnp.sin(heading)[:, None]
+        fwd = rel[..., 0] * cos_h + rel[..., 1] * sin_h
+        lat = -rel[..., 0] * sin_h + rel[..., 1] * cos_h
+        dis = jnp.sqrt(jnp.maximum(fwd * fwd + lat * lat, 1e-12))
+        extra = jnp.clip(
+            jnp.stack(
+                [dis / 20.0, (fwd / dis + 1.0) / 2.0, (lat / dis + 1.0) / 2.0],
+                axis=-1,
+            ),
+            0.0, 1.0,
+        )
+        msgs = jnp.concatenate([msgs, extra], axis=-1)        # (N, K, comm_dim)
+    msgs = jnp.where(ok[..., None], msgs, 0.0)
+    return msgs.reshape(N, K * cfg.comm_dim)
+
+
 def build_obs(scene: SceneData, cfg: EnvConfig, *, pos, heading, speed, steering,
               yaw_rate, last_action, route_idx, s, lateral, lane_heading,
-              lidar_block, lcf):
+              lidar_block, lcf, t=None, comm_msg=None, comm_valid=None):
     """Assemble the full observation (N, cfg.obs_dim). Inputs are per-slot."""
     left_w = scene.route_left_width[route_idx]
     right_w = scene.route_right_width[route_idx]
@@ -91,7 +178,11 @@ def build_obs(scene: SceneData, cfg: EnvConfig, *, pos, heading, speed, steering
 
     parts = [ego, navi, lidar_block]
     if cfg.obs_extra_dim > 0:
-        parts.append(jnp.zeros(pos.shape[:-1] + (cfg.obs_extra_dim,), dtype=jnp.float32))
+        parts.append(extras_block(scene, cfg, pos, heading))
+    if cfg.add_traffic_light:
+        parts.append(traffic_light_block(scene, cfg, pos, t))
     if cfg.lcf_enabled:
         parts.append(_to01(lcf)[..., None])
+    if cfg.comm_method != "none":
+        parts.append(comm_block(cfg, pos, heading, comm_msg, comm_valid))
     return jnp.concatenate(parts, axis=-1).astype(jnp.float32)

@@ -49,6 +49,9 @@ class SceneData:
     # --- misc ---
     walls: jnp.ndarray           # (Wn, 4) segments (lidar bake input; kept for viz/debug)
     bbox: jnp.ndarray            # (4,) xmin, xmax, ymin, ymax
+    # special zone (tollgate plaza / bottleneck throat): xmin, xmax, ymin, ymax;
+    # all-zeros = no zone
+    zone: jnp.ndarray            # (4,)
 
     @property
     def num_routes(self) -> int:
@@ -80,6 +83,7 @@ class SceneBuildSpec:
     lidar_cell: float = 1.0
     lidar_angles: int = 72
     lidar_range: float = 40.0
+    zone: tuple | None = None    # (xmin, xmax, ymin, ymax) special scene zone
 
 
 def _interp_on_route(route: np.ndarray, s: float) -> tuple[np.ndarray, float]:
@@ -136,4 +140,8 @@ def compile_scene(spec: SceneBuildSpec) -> SceneData:
         field_cell=jnp.asarray(np.float32(spec.lidar_cell)),
         walls=jnp.asarray(np.asarray(spec.walls, dtype=np.float32).reshape(-1, 4)),
         bbox=jnp.asarray(np.asarray(spec.bbox, dtype=np.float32)),
+        zone=jnp.asarray(np.asarray(
+            spec.zone if spec.zone is not None else (0.0, 0.0, 0.0, 0.0),
+            dtype=np.float32,
+        )),
     )

@@ -3,9 +3,9 @@
 Reference: `MultiAgentBottleneckEnv` (metadrive 0.2.5), 20 agents, obs 96 =
 91 + 5 scene extras (SURVEY.md §2.2 npz shapes). A one-directional 4-lane
 road funnels into 2 lanes and expands back; agents must negotiate the merge.
-The 5 extra obs dims are reserved as a scene-feature block (zero-filled this
-round; MetaDrive's exact extra-channel semantics live outside the reference
-repo).
+The 5 extra obs dims are a static-detector block: 4 side-detector beams +
+1 in-throat flag (information-equivalent of MetaDrive's side-detector
+channels, whose exact semantics live outside the reference repo).
 """
 
 from __future__ import annotations
@@ -67,12 +67,14 @@ def build_bottleneck(num_agents: int | None = None, **cfg_overrides):
             spawns.append([(i, s0)])
 
     cfg_overrides.setdefault("obs_extra_dim", 5)
+    cfg_overrides.setdefault("obs_extra_kind", "detector")
     spec = SceneBuildSpec(
         routes=routes,
         half_widths=half_widths,
         spawns=spawns,
         walls=_walls(),
         bbox=(-5.0, X_EXIT_END + 5, -14.0, 14.0),
+        zone=(X_NARROW_START, X_NARROW_END, -3.5, 3.5),
     )
     scene = compile_scene(spec)
     cfg = EnvConfig(num_agents=num_agents, **cfg_overrides)

