@@ -31,7 +31,12 @@ class EnvConfig:
     delay_done: int = 25            # steps a terminated body stays as obstacle
 
     # --- termination ---
-    crash_done: bool = True         # crash terminates the agent
+    # MetaDrive's multi-agent default is crash_done=False during training
+    # (crashes give the penalty each contact step but do not terminate; the
+    # published runs configure only `neighbours_distance`/`start_seed`, see
+    # eval/demo_raw_checkpoints/.../params.json) while every eval driver
+    # forces crash_done=True (`eval/evaluate_population.py:106-132`).
+    crash_done: bool = False        # crash terminates the agent (eval: True)
     out_of_road_done: bool = True
 
     # --- neighbourhood (CCEnv/LCFEnv wrappers, env_wrappers.py:40,167) ---

@@ -254,6 +254,38 @@ def engine_step(scene: SceneData, cfg: EnvConfig, state: EnvState, actions,
         steering = jnp.where(alive0, steering, state.steering)
         yaw_rate = jnp.where(alive0, yaw_rate, 0.0)
 
+        # collision: capsule-vs-capsule via two discs per vehicle
+        r = 0.55 * cfg.vehicle_width + 0.15
+        off = 0.25 * cfg.vehicle_length
+        fwd = jnp.stack([jnp.cos(heading), jnp.sin(heading)], axis=-1)
+        discs = jnp.stack([pos + off * fwd, pos - off * fwd], axis=1)  # (N,2,2)
+        flat = discs.reshape(2 * N, 2)
+        owner = jnp.repeat(jnp.arange(N), 2)
+        body_present = state.present
+        present2 = jnp.repeat(body_present, 2)
+        delta = flat[:, None, :] - flat[None, :, :]
+        dd = jnp.sum(delta**2, axis=-1)
+        overlap = (dd < (2 * r) ** 2) & (owner[:, None] != owner[None, :])
+        overlap &= present2[:, None] & present2[None, :]
+        crash_body = jnp.any(overlap.reshape(N, 2, 2 * N), axis=(1, 2))
+        crash = alive0 & crash_body
+
+        # --- contact resolution (Bullet-equivalent, kinematic) ---
+        # Overlapping bodies are pushed apart along the line of centers and
+        # lose most of their speed (inelastic bump). Without this, bodies
+        # tunnel through each other and — under the MA-default
+        # crash_done=False — sit overlapped accruing the crash penalty every
+        # step, which MetaDrive's rigid-body engine never allows.
+        d = jnp.sqrt(jnp.maximum(dd, 1e-12))
+        pen = jnp.where(overlap, 2 * r + 0.1 - d, 0.0)    # (2N, 2N), +margin
+        push_dir = delta / jnp.maximum(d, 1e-6)[..., None]
+        push_disc = jnp.sum(0.5 * pen[..., None] * push_dir, axis=1)  # (2N, 2)
+        push = push_disc.reshape(N, 2, 2).sum(axis=1)
+        push_norm = jnp.linalg.norm(push, axis=-1, keepdims=True)
+        push = push * (jnp.minimum(push_norm, 0.5) / jnp.maximum(push_norm, 1e-6))
+        pos = jnp.where((alive0 & crash_body)[:, None], pos + push, pos)
+        speed = jnp.where(alive0 & crash_body, speed * 0.25, speed)
+
         # --- localization ---
         wp_idx, s_new, lateral, lane_heading = locate_on_route(
             scene, state.route, state.waypoint_idx, pos
@@ -267,21 +299,6 @@ def engine_step(scene: SceneData, cfg: EnvConfig, state: EnvState, actions,
         out_of_road = alive0 & ((lateral > left_w) | (lateral < -right_w))
         route_len = scene.route_len[state.route]
         arrive = alive0 & (s_new >= route_len - 2.0) & ~out_of_road
-
-        # collision: capsule-vs-capsule via two discs per vehicle
-        r = 0.55 * cfg.vehicle_width + 0.15
-        off = 0.25 * cfg.vehicle_length
-        fwd = jnp.stack([jnp.cos(heading), jnp.sin(heading)], axis=-1)
-        discs = jnp.stack([pos + off * fwd, pos - off * fwd], axis=1)  # (N,2,2)
-        flat = discs.reshape(2 * N, 2)
-        owner = jnp.repeat(jnp.arange(N), 2)
-        body_present = state.present
-        present2 = jnp.repeat(body_present, 2)
-        dd = jnp.sum((flat[:, None, :] - flat[None, :, :]) ** 2, axis=-1)
-        overlap = (dd < (2 * r) ** 2) & (owner[:, None] != owner[None, :])
-        overlap &= present2[:, None] & present2[None, :]
-        crash_body = jnp.any(overlap.reshape(N, 2, 2 * N), axis=(1, 2))
-        crash = alive0 & crash_body
 
         steps_new = state.steps + alive0.astype(jnp.int32)
         max_step = alive0 & (steps_new >= cfg.max_step_per_agent)

@@ -35,7 +35,11 @@ def eval_trial(trial_dir, num_episodes, out_rows):
             env_name = cand
     assert env_name, f"cannot infer env from {trial_dir}"
     lcf = params_json["env"].get("lcf_enabled", False)
-    scene, cfg = make_scene(env_name, lcf_enabled=lcf) if lcf else make_scene(env_name)
+    # eval protocol forces crash_done=True (evaluate_population.py:106-132)
+    kw = dict(crash_done=True)
+    if lcf:
+        kw["lcf_enabled"] = True
+    scene, cfg = make_scene(env_name, **kw)
 
     ckpt = latest_checkpoint(os.path.join(trial_dir, "checkpoints"))
     if ckpt is None:
@@ -74,7 +78,7 @@ if __name__ == "__main__":
     out_rows = []
     if args.npz:
         params = load_policy_npz(args.npz)
-        scene, cfg = make_scene(args.env)
+        scene, cfg = make_scene(args.env, crash_done=True)
         rows = evaluate_policy(scene, cfg, params, num_episodes=args.num_episodes)
         s = summarize(rows)
         s["trial"] = os.path.basename(args.npz)

@@ -154,3 +154,37 @@ def test_neighbour_semantics(inter, shared):
     pos = np.asarray(state.pos)  # post-step positions
     # recompute from info idea is indirect; just sanity: no self in neighbours
     assert np.asarray(info.num_neighbours).min() >= 0
+
+
+def test_crash_done_training_vs_eval_semantics(inter):
+    """Training default is crash_done=False (MetaDrive MA default; the
+    published runs set only neighbours_distance/start_seed — see the shipped
+    params.json), while eval forces crash_done=True
+    (eval/evaluate_population.py:106-132). Contact must penalize either way,
+    but only the eval config terminates the agent."""
+    import dataclasses
+
+    scene, cfg = inter
+    assert cfg.crash_done is False
+    assert cfg.delay_done == 25
+
+    for crash_done in (False, True):
+        c = dataclasses.replace(cfg, crash_done=crash_done)
+        eng = DrivingEngine(scene, c)
+        params = EnvParams.default(c.num_agents)
+        state, _ = eng.reset(jax.random.PRNGKey(7), params)
+        # force agents 0 and 1 into overlap
+        pos = state.pos.at[1].set(state.pos[0] + jnp.array([0.5, 0.0]))
+        heading = state.heading.at[1].set(state.heading[0])
+        state = state.replace(pos=pos, heading=heading)
+        state2, out = eng.step(state, jnp.zeros((c.num_agents, 2)), params)
+        crashed = np.asarray(out.info.crash)
+        assert crashed[0] and crashed[1]
+        # crash penalty applies in both modes
+        assert float(out.reward[0]) <= -c.crash_vehicle_penalty + 1.0
+        if crash_done:
+            assert bool(out.done[0]) and not bool(state2.alive[0]) or bool(
+                state2.uid[0] != state.uid[0])  # terminated (slot may respawn)
+        else:
+            assert not bool(out.done[0])
+            assert bool(state2.alive[0]) and int(state2.uid[0]) == int(state.uid[0])
