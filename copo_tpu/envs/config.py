@@ -65,6 +65,7 @@ class EnvConfig:
     vehicle_width: float = 1.85
     wheelbase: float = 2.6
     max_speed: float = 11.1         # m/s (40 km/h)
+    max_reverse_speed: float = 3.0  # m/s cap when backing out of contact
     max_steering: float = 0.6981    # rad (40 deg)
     max_accel: float = 2.5          # m/s^2
     max_brake: float = 6.0          # m/s^2

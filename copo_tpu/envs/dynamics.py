@@ -28,9 +28,21 @@ def step_dynamics(cfg: EnvConfig, pos, heading, speed, steering, actions):
     target = a_steer * cfg.max_steering
     new_steering = steering + cfg.steering_smooth * (target - steering)
 
+    # Negative throttle brakes while moving forward and, held at standstill,
+    # engages reverse (MetaDrive's Bullet vehicle does the same: brake force
+    # above zero speed, reverse engine force at/below it). Without reverse,
+    # head-on contacts in a junction deadlock permanently — Bullet lets
+    # vehicles back out.
     accel = jnp.where(a_throttle >= 0.0, a_throttle * cfg.max_accel, a_throttle * cfg.max_brake)
-    accel = accel - cfg.drag_decel
-    new_speed = jnp.clip(speed + accel * cfg.dt, 0.0, cfg.max_speed)
+    new_speed = speed + accel * cfg.dt
+    # rolling/drag deceleration always opposes motion (toward zero)
+    drag = cfg.drag_decel * cfg.dt
+    new_speed = jnp.where(
+        new_speed > 0.0,
+        jnp.maximum(new_speed - drag, 0.0),
+        jnp.minimum(new_speed + drag, 0.0),
+    )
+    new_speed = jnp.clip(new_speed, -cfg.max_reverse_speed, cfg.max_speed)
 
     # Kinematic bicycle: yaw rate = v/L * tan(delta), integrated midpoint.
     avg_speed = 0.5 * (speed + new_speed)

@@ -56,6 +56,7 @@ class EnvState:
     ep_nei_reward: jnp.ndarray  # (N,) float32 accumulated neighbour-mean reward
     ep_cost: jnp.ndarray      # (N,) float32 accumulated cost since spawn
     lcf: jnp.ndarray          # (N,) float32 in [-1, 1]
+    in_contact: jnp.ndarray   # (N,) bool — was touching another body last step
     comm_msg: jnp.ndarray     # (N, comm_size | 1 dummy) last broadcast message
     comm_valid: jnp.ndarray   # (N,) bool — slot broadcast a message this step
 
@@ -185,6 +186,7 @@ def _respawn(scene: SceneData, cfg: EnvConfig, state: EnvState, params: EnvParam
             ep_nei_reward=sel(jnp.zeros((N,)), state.ep_nei_reward),
             ep_cost=sel(jnp.zeros((N,)), state.ep_cost),
             lcf=sel(new_lcf, state.lcf),
+            in_contact=state.in_contact & ~will_spawn,
             comm_msg=sel(jnp.zeros_like(state.comm_msg), state.comm_msg),
             comm_valid=state.comm_valid & ~will_spawn,
         )
@@ -201,6 +203,7 @@ def _empty_state(cfg: EnvConfig, key) -> EnvState:
             alive=jnp.zeros((N,), bool), dead_timer=zi,
             uid=jnp.full((N,), -1, jnp.int32), next_uid=jnp.int32(0),
             steps=zi, ep_reward=zf, ep_nei_reward=zf, ep_cost=zf, lcf=zf,
+            in_contact=jnp.zeros((N,), bool),
             # 1-wide dummy when comm is off (orbax rejects zero-size arrays)
             comm_msg=jnp.zeros(
                 (N, cfg.comm_size if cfg.comm_method != "none" else 1)
@@ -269,6 +272,11 @@ def engine_step(scene: SceneData, cfg: EnvConfig, state: EnvState, actions,
         overlap &= present2[:, None] & present2[None, :]
         crash_body = jnp.any(overlap.reshape(N, 2, 2 * N), axis=(1, 2))
         crash = alive0 & crash_body
+        # penalize the IMPACT (contact onset), not every step of a sustained
+        # contact: a Bullet-style jam keeps bodies touching for many steps,
+        # and repeating the full penalty each step makes "never drive near
+        # anyone" the only optimum under the MA-default crash_done=False
+        crash_onset = crash & ~state.in_contact
 
         # --- contact resolution (Bullet-equivalent, kinematic) ---
         # Overlapping bodies are pushed apart along the line of centers and
@@ -317,7 +325,7 @@ def engine_step(scene: SceneData, cfg: EnvConfig, state: EnvState, actions,
         native = cfg.driving_reward * progress * lat_factor
         native = native + cfg.speed_reward * speed / cfg.max_speed * alive0
         native = native + cfg.success_reward * arrive
-        native = native - cfg.crash_vehicle_penalty * crash
+        native = native - cfg.crash_vehicle_penalty * crash_onset
         native = native - cfg.out_of_road_penalty * out_of_road
         if cfg.zone_speed_limit > 0.0:
             # tollgate-style in-zone speed limit (MetaDrive block speed limit
@@ -329,7 +337,7 @@ def engine_step(scene: SceneData, cfg: EnvConfig, state: EnvState, actions,
                 over / cfg.zone_speed_limit
             ) * in_z * alive0
         native = jnp.where(valid, native, 0.0)
-        cost = cfg.crash_vehicle_cost * crash + cfg.out_of_road_cost * out_of_road
+        cost = cfg.crash_vehicle_cost * crash_onset + cfg.out_of_road_cost * out_of_road
 
         # --- neighbourhood graph + reward mixing (CCEnv/LCFEnv semantics) ---
         d2_agents = jnp.sum((pos[:, None, :] - pos[None, :, :]) ** 2, axis=-1)
@@ -380,7 +388,7 @@ def engine_step(scene: SceneData, cfg: EnvConfig, state: EnvState, actions,
             s=s_new,
             lateral=jnp.where(alive0, lateral, state.lateral),
             lane_heading=jnp.where(alive0, lane_heading, state.lane_heading),
-            alive=alive1, dead_timer=dead_timer,
+            alive=alive1, dead_timer=dead_timer, in_contact=crash_body,
             steps=steps_new, ep_reward=ep_reward, ep_nei_reward=ep_nei_reward,
             ep_cost=ep_cost, t=t_new, key=key,
         )
@@ -394,7 +402,7 @@ def engine_step(scene: SceneData, cfg: EnvConfig, state: EnvState, actions,
             nei_reward=nei_reward, global_reward=global_reward,
             num_neighbours=n_nei.astype(jnp.int32),
             cost=cost, lcf=state.lcf,
-            velocity=speed * 3.6, steering=drive[..., 0], acceleration=drive[..., 1],
+            velocity=jnp.abs(speed) * 3.6, steering=drive[..., 0], acceleration=drive[..., 1],
             episode_length=steps_new, episode_reward=ep_reward, episode_cost=ep_cost,
             episode_nei_reward=ep_nei_reward,
             route_completion=route_completion,
