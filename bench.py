@@ -1,81 +1,117 @@
 #!/usr/bin/env python
-"""Throughput benchmark: fused policy+env rollout on the available accelerator.
+"""Throughput benchmark. Prints ONE JSON line.
 
-Prints ONE JSON line:
-  {"metric": "agent_steps_per_s", "value": N, "unit": "steps/s", "vs_baseline": R}
+Two measurements (VERDICT r1 "fix the throughput story"):
+  * rollout hot path — policy MLP inference + vectorized env step (the moral
+    equivalent of the reference's Ray `sample_throughput`, SURVEY.md §6;
+    its one recorded sample is ~15.6k obs/s on a CPU node), and
+  * full CoPO train iteration — rollout + 3-stream GAE + PPO SGD + LCF
+    meta-update (`torch_copo/algo_copo.py:516-661` as one fused program).
 
-Headline metric = agent-steps/s of the full hot path (policy MLP inference +
-vectorized env step, B envs x N agents, jit-fused scan) — the moral
-equivalent of the reference's Ray `sample_throughput` (SURVEY.md §6), whose
-one recorded sample is ~15.6k obs/s on a CPU node. vs_baseline is measured
-against the BASELINE.json north star of 1M env-steps/s aggregate per host.
+Both are reported in BOTH units: env-steps/s (one vectorized env.step = B
+steps) and agent-steps/s (env-steps x live agents). The headline metric is
+rollout env-steps/s, judged against the BASELINE.json north star of
+1M env-steps/s aggregate per host; the other numbers ride along in the same
+JSON line.
 """
 
 import json
 import time
 
 import jax
-import jax.numpy as jnp
 
-from copo_tpu.envs import make_scene
-from copo_tpu.envs.config import EnvParams
-from copo_tpu.envs.engine import vec_reset, vec_step
-from copo_tpu.models.mlp import DiagGaussian, init_model, policy_logits
-
-BASELINE_STEPS_PER_S = 1_000_000.0
+BASELINE_ENV_STEPS_PER_S = 1_000_000.0
 
 
-def rollout_fn(scene, cfg, params, env_states, obs, env_params, key, T):
-    def step_fn(carry, k):
-        states, obs = carry
-        mean, log_std = policy_logits(params, obs)
-        act = DiagGaussian.sample(k, mean, log_std)
-        states, out = vec_step(scene, cfg, states, act, env_params)
-        return (states, out.obs), out.reward.sum()
+def bench_rollout(on_accel: bool):
+    import jax.numpy as jnp
 
-    keys = jax.random.split(key, T)
-    (env_states, obs), rs = jax.lax.scan(step_fn, (env_states, obs), keys)
-    return env_states, obs, rs.sum()
+    from copo_tpu.envs import make_scene
+    from copo_tpu.envs.config import EnvParams
+    from copo_tpu.envs.engine import vec_reset, vec_step
+    from copo_tpu.models.mlp import DiagGaussian, init_model, policy_logits
 
-
-def main():
-    platform = jax.devices()[0].platform
-    on_accel = platform != "cpu"
     B = 512 if on_accel else 16
     T = 64 if on_accel else 8
     N = 40
 
     scene, cfg = make_scene("intersection", num_agents=N)
     params_env = EnvParams.default(N)
-    key = jax.random.PRNGKey(0)
-    k_env, k_model, k_roll = jax.random.split(key, 3)
+    k_env, k_model, k_roll = jax.random.split(jax.random.PRNGKey(0), 3)
     env_keys = jax.random.split(k_env, B)
-    jit_reset = jax.jit(vec_reset, static_argnums=(1,))
-    env_states, obs = jit_reset(scene, cfg, env_keys, params_env)
+    env_states, obs = jax.jit(vec_reset, static_argnums=(1,))(
+        scene, cfg, env_keys, params_env
+    )
     params = init_model(k_model, cfg.obs_dim, cfg.action_dim)
 
+    def rollout_fn(scene, cfg, params, env_states, obs, env_params, key, T):
+        def step_fn(carry, k):
+            states, obs = carry
+            mean, log_std = policy_logits(params, obs)
+            act = DiagGaussian.sample(k, mean, log_std)
+            states, out = vec_step(scene, cfg, states, act, env_params)
+            return (states, out.obs), jnp.sum(out.info.valid)
+
+        keys = jax.random.split(key, T)
+        (env_states, obs), live = jax.lax.scan(step_fn, (env_states, obs), keys)
+        return env_states, obs, live.sum()
+
     roll = jax.jit(rollout_fn, static_argnums=(1, 7))
-    # warmup / compile
     env_states, obs, _ = roll(scene, cfg, params, env_states, obs, params_env, k_roll, T)
     jax.block_until_ready(obs)
 
     reps = 5 if on_accel else 2
+    agent_steps = 0
     t0 = time.perf_counter()
     for i in range(reps):
-        env_states, obs, _ = roll(
+        env_states, obs, live = roll(
             scene, cfg, params, env_states, obs, params_env,
             jax.random.fold_in(k_roll, i), T,
         )
+        agent_steps += int(live)
     jax.block_until_ready(obs)
     dt = time.perf_counter() - t0
+    return reps * T * B / dt, agent_steps / dt
 
-    agent_steps = reps * T * B * N
-    sps = agent_steps / dt
+
+def bench_copo_train(on_accel: bool):
+    from copo_tpu.envs import make_scene
+    from copo_tpu.runtime.copo import CoPOConfig, CoPOTrainer
+
+    B = 64 if on_accel else 2
+    T = 64 if on_accel else 8
+    N = 30
+
+    scene, env_cfg = make_scene("intersection", num_agents=N, lcf_enabled=True)
+    cfg = CoPOConfig(num_envs=B, rollout_T=T,
+                     sgd_minibatch_size=4096 if on_accel else 64)
+    trainer = CoPOTrainer(scene, env_cfg, cfg)
+    state = trainer.init_state()
+    state, m = trainer.train_iter(state)  # compile all three phases
+
+    reps = 5 if on_accel else 1
+    agent_steps = 0
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state, m = trainer.train_iter(state)
+        agent_steps += int(m["agent_steps_this_iter"])
+    jax.block_until_ready(state.key)
+    dt = time.perf_counter() - t0
+    return reps * T * B / dt, agent_steps / dt
+
+
+def main():
+    on_accel = jax.devices()[0].platform != "cpu"
+    env_sps, agent_sps = bench_rollout(on_accel)
+    train_env_sps, train_agent_sps = bench_copo_train(on_accel)
     print(json.dumps({
-        "metric": "agent_steps_per_s",
-        "value": round(sps, 1),
-        "unit": "steps/s",
-        "vs_baseline": round(sps / BASELINE_STEPS_PER_S, 4),
+        "metric": "env_steps_per_s",
+        "value": round(env_sps, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(env_sps / BASELINE_ENV_STEPS_PER_S, 4),
+        "agent_steps_per_s": round(agent_sps, 1),
+        "copo_train_env_steps_per_s": round(train_env_sps, 1),
+        "copo_train_agent_steps_per_s": round(train_agent_sps, 1),
     }))
 
 

@@ -31,12 +31,12 @@ class EnvConfig:
     delay_done: int = 25            # steps a terminated body stays as obstacle
 
     # --- termination ---
-    # MetaDrive's multi-agent default is crash_done=False during training
-    # (crashes give the penalty each contact step but do not terminate; the
-    # published runs configure only `neighbours_distance`/`start_seed`, see
-    # eval/demo_raw_checkpoints/.../params.json) while every eval driver
-    # forces crash_done=True (`eval/evaluate_population.py:106-132`).
-    crash_done: bool = False        # crash terminates the agent (eval: True)
+    # MetaDrive's multi-agent default terminates an agent on crash
+    # (crash_done=True) and out-of-road; the published runs use the MA
+    # defaults (their params.json configures only `neighbours_distance`/
+    # `start_seed`) and the eval drivers pass crash_done=True explicitly
+    # (`eval/evaluate_population.py:106-132`).
+    crash_done: bool = True         # crash terminates the agent
     out_of_road_done: bool = True
 
     # --- neighbourhood (CCEnv/LCFEnv wrappers, env_wrappers.py:40,167) ---
@@ -47,7 +47,9 @@ class EnvConfig:
     lidar_distance: float = 40.0
     lidar_num_others: int = 0       # extra nearest-K vehicle features (0 in scenes used)
 
-    # --- reward (MetaDrive 0.2.5 semantics; see envs/reward notes) ---
+    # --- reward (MetaDrive 0.2.5 reward_function semantics: dense progress
+    #     with lane-keeping lateral factor + speed term; terminal events
+    #     REPLACE the step reward with the bonus/penalty) ---
     driving_reward: float = 1.0
     speed_reward: float = 0.1
     success_reward: float = 10.0
@@ -55,7 +57,8 @@ class EnvConfig:
     crash_vehicle_penalty: float = 10.0
     crash_vehicle_cost: float = 1.0
     out_of_road_cost: float = 1.0
-    use_lateral_reward: bool = False
+    use_lateral_reward: bool = True
+    lane_width: float = 3.5         # lateral factor = clip(1 - 2|lat|/w, 0, 1)
 
     # --- vehicle / dynamics (calibrated against the shipped eval CSVs:
     #     reference vehicles average 14-17 km/h with observed max ~29 km/h,

@@ -218,10 +218,12 @@ def observe(scene: SceneData, cfg: EnvConfig, state: EnvState):
             scene, cfg,
             pos=state.pos, heading=state.heading, speed=state.speed,
             steering=state.steering, yaw_rate=state.yaw_rate,
-            last_action=state.last_action, route_idx=state.route, s=state.s,
+            last_action=state.last_action, route_idx=state.route,
+            waypoint_idx=state.waypoint_idx, s=state.s,
             lateral=state.lateral, lane_heading=state.lane_heading,
             lidar_block=lidar, lcf=state.lcf,
             t=state.t, comm_msg=state.comm_msg, comm_valid=state.comm_valid,
+            present=state.present,
         )
 
 def engine_reset(scene: SceneData, cfg: EnvConfig, key, params: EnvParams):
@@ -257,20 +259,26 @@ def engine_step(scene: SceneData, cfg: EnvConfig, state: EnvState, actions,
         steering = jnp.where(alive0, steering, state.steering)
         yaw_rate = jnp.where(alive0, yaw_rate, 0.0)
 
-        # collision: capsule-vs-capsule via two discs per vehicle
-        r = 0.55 * cfg.vehicle_width + 0.15
-        off = 0.25 * cfg.vehicle_length
+        # collision: capsule-vs-capsule via three width-true discs per vehicle
+        # (disc radius = half the vehicle width, so the effective footprint
+        # matches MetaDrive's box width instead of over-approximating it;
+        # three discs leave no coverage hole along the 4.5 m body)
+        D = 3
+        r = 0.5 * cfg.vehicle_width
+        off = 0.5 * (cfg.vehicle_length - cfg.vehicle_width)
         fwd = jnp.stack([jnp.cos(heading), jnp.sin(heading)], axis=-1)
-        discs = jnp.stack([pos + off * fwd, pos - off * fwd], axis=1)  # (N,2,2)
-        flat = discs.reshape(2 * N, 2)
-        owner = jnp.repeat(jnp.arange(N), 2)
+        discs = jnp.stack(
+            [pos + off * fwd, pos, pos - off * fwd], axis=1
+        )  # (N, D, 2)
+        flat = discs.reshape(D * N, 2)
+        owner = jnp.repeat(jnp.arange(N), D)
         body_present = state.present
-        present2 = jnp.repeat(body_present, 2)
+        presentD = jnp.repeat(body_present, D)
         delta = flat[:, None, :] - flat[None, :, :]
         dd = jnp.sum(delta**2, axis=-1)
         overlap = (dd < (2 * r) ** 2) & (owner[:, None] != owner[None, :])
-        overlap &= present2[:, None] & present2[None, :]
-        crash_body = jnp.any(overlap.reshape(N, 2, 2 * N), axis=(1, 2))
+        overlap &= presentD[:, None] & presentD[None, :]
+        crash_body = jnp.any(overlap.reshape(N, D, D * N), axis=(1, 2))
         crash = alive0 & crash_body
         # penalize the IMPACT (contact onset), not every step of a sustained
         # contact: a Bullet-style jam keeps bodies touching for many steps,
@@ -285,10 +293,10 @@ def engine_step(scene: SceneData, cfg: EnvConfig, state: EnvState, actions,
         # crash_done=False — sit overlapped accruing the crash penalty every
         # step, which MetaDrive's rigid-body engine never allows.
         d = jnp.sqrt(jnp.maximum(dd, 1e-12))
-        pen = jnp.where(overlap, 2 * r + 0.1 - d, 0.0)    # (2N, 2N), +margin
+        pen = jnp.where(overlap, 2 * r + 0.1 - d, 0.0)    # (DN, DN), +margin
         push_dir = delta / jnp.maximum(d, 1e-6)[..., None]
-        push_disc = jnp.sum(0.5 * pen[..., None] * push_dir, axis=1)  # (2N, 2)
-        push = push_disc.reshape(N, 2, 2).sum(axis=1)
+        push_disc = jnp.sum(0.5 * pen[..., None] * push_dir, axis=1)  # (DN, 2)
+        push = push_disc.reshape(N, D, 2).sum(axis=1)
         push_norm = jnp.linalg.norm(push, axis=-1, keepdims=True)
         push = push * (jnp.minimum(push_norm, 0.5) / jnp.maximum(push_norm, 1e-6))
         pos = jnp.where((alive0 & crash_body)[:, None], pos + push, pos)
@@ -302,11 +310,14 @@ def engine_step(scene: SceneData, cfg: EnvConfig, state: EnvState, actions,
         progress = jnp.where(alive0, s_new - state.s, 0.0)
 
         # --- events ---
-        left_w = scene.route_left_width[state.route]
-        right_w = scene.route_right_width[state.route]
+        left_w = scene.route_left_width[state.route, wp_idx]
+        right_w = scene.route_right_width[state.route, wp_idx]
         out_of_road = alive0 & ((lateral > left_w) | (lateral < -right_w))
         route_len = scene.route_len[state.route]
-        arrive = alive0 & (s_new >= route_len - 2.0) & ~out_of_road
+        # arrive_dest is independent of the out-of-road flag (MetaDrive's
+        # done_function checks arrive first; reaching the destination wins)
+        arrive = alive0 & (s_new >= route_len - 2.0)
+        out_of_road &= ~arrive
 
         steps_new = state.steps + alive0.astype(jnp.int32)
         max_step = alive0 & (steps_new >= cfg.max_step_per_agent)
@@ -314,28 +325,36 @@ def engine_step(scene: SceneData, cfg: EnvConfig, state: EnvState, actions,
         horizon_end = t_new >= cfg.horizon
         done_all = jnp.asarray(horizon_end)
 
-        # --- reward (MetaDrive 0.2.5 semantics: dense progress + speed,
-        #     one-off terminal bonus/penalties; cost channel for safety) ---
-        half_w = 0.5 * (left_w + right_w)
+        # --- reward (MetaDrive 0.2.5 reward_function semantics: dense
+        #     progress * lateral-factor + speed term each step; on a terminal
+        #     event the step reward is REPLACED by the bonus/penalty, priority
+        #     arrive > out_of_road > crash_vehicle) ---
         lat_factor = jnp.where(
             cfg.use_lateral_reward,
-            jnp.clip(1.0 - jnp.abs(lateral) / jnp.maximum(half_w, 1e-3), 0.0, 1.0),
+            jnp.clip(1.0 - 2.0 * jnp.abs(lateral) / cfg.lane_width, 0.0, 1.0),
             1.0,
         )
-        native = cfg.driving_reward * progress * lat_factor
-        native = native + cfg.speed_reward * speed / cfg.max_speed * alive0
-        native = native + cfg.success_reward * arrive
-        native = native - cfg.crash_vehicle_penalty * crash_onset
-        native = native - cfg.out_of_road_penalty * out_of_road
+        dense = cfg.driving_reward * progress * lat_factor
+        dense = dense + cfg.speed_reward * speed / cfg.max_speed * alive0
         if cfg.zone_speed_limit > 0.0:
             # tollgate-style in-zone speed limit (MetaDrive block speed limit
             # shaping; calibrated equivalent — exact form lives outside the
             # reference repo)
             over = jnp.maximum(speed - cfg.zone_speed_limit, 0.0)
             in_z = obs_in_zone(scene, pos)
-            native = native - cfg.overspeed_penalty * (
+            dense = dense - cfg.overspeed_penalty * (
                 over / cfg.zone_speed_limit
             ) * in_z * alive0
+        # crash penalty applies on contact onset (Bullet separates bodies, so
+        # sustained-contact steps do not re-trigger crash_vehicle); with
+        # crash_done the agent is removed the same step anyway
+        native = jnp.where(
+            arrive, cfg.success_reward,
+            jnp.where(
+                out_of_road, -cfg.out_of_road_penalty,
+                jnp.where(crash_onset, -cfg.crash_vehicle_penalty, dense),
+            ),
+        )
         native = jnp.where(valid, native, 0.0)
         cost = cfg.crash_vehicle_cost * crash_onset + cfg.out_of_road_cost * out_of_road
 

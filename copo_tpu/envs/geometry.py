@@ -148,6 +148,43 @@ def ray_segment_distances(origins: np.ndarray, angles: np.ndarray, walls: np.nda
     return np.clip(out, 0.0, max_dist)
 
 
+def perp_wall_distances(waypoints: np.ndarray, walls: np.ndarray,
+                        max_dist: float = 60.0) -> tuple[np.ndarray, np.ndarray]:
+    """Distance from each waypoint to the nearest wall along the left/right
+    perpendicular of the local route direction.
+
+    waypoints: (P, 2) uniform-spacing polyline. Returns (left, right), each
+    (P,) float32 in (0, max_dist]. Used at scene-compile time to clamp the
+    drivable corridor to the physical walls (MetaDrive's `crash_sidewalk` /
+    `on_lane` out-of-road tests resolve against real boundary geometry;
+    SURVEY.md §2.2 `_is_out_of_road`).
+    """
+    waypoints = np.asarray(waypoints, dtype=np.float64)
+    d = np.diff(waypoints, axis=0)
+    d = np.vstack([d, d[-1:]])
+    d = d / (np.linalg.norm(d, axis=1, keepdims=True) + 1e-12)
+    left_n = np.stack([-d[:, 1], d[:, 0]], axis=1)  # +90 deg from travel dir
+
+    walls = np.asarray(walls, dtype=np.float64).reshape(-1, 4)
+    if len(walls) == 0:
+        full = np.full(len(waypoints), max_dist, dtype=np.float32)
+        return full, full.copy()
+    p = walls[:, 0:2]
+    e = walls[:, 2:4] - walls[:, 0:2]
+
+    def cast(dirs):
+        # ray o + t*dir vs segment p + u*e; per (waypoint, wall) pair
+        po = p[None, :, :] - waypoints[:, None, :]                   # (P, W, 2)
+        denom = dirs[:, None, 0] * e[None, :, 1] - dirs[:, None, 1] * e[None, :, 0]
+        safe = np.where(np.abs(denom) > 1e-9, denom, 1.0)
+        t = (po[..., 0] * e[None, :, 1] - po[..., 1] * e[None, :, 0]) / safe
+        u = (po[..., 0] * dirs[:, None, 1] - po[..., 1] * dirs[:, None, 0]) / safe
+        valid = (np.abs(denom) > 1e-9) & (t > 0.0) & (u >= 0.0) & (u <= 1.0)
+        return np.where(valid, t, max_dist).min(axis=1).astype(np.float32)
+
+    return cast(left_n), cast(-left_n)
+
+
 _FIELD_CACHE: dict = {}
 
 

@@ -151,12 +151,50 @@ def comm_block(cfg: EnvConfig, pos, heading, comm_msg, sender_valid):
     return msgs.reshape(N, K * cfg.comm_dim)
 
 
+def nearest_others_block(cfg: EnvConfig, pos, heading, speed, present):
+    """4 features per K = cfg.lidar_num_others nearest in-range vehicles:
+    ego-frame relative position (2) + relative velocity (2), each mapped to
+    [0, 1]; zeros for missing slots (MetaDrive `lidar.num_others`
+    `get_surrounding_vehicles_info`, SURVEY.md §2.2)."""
+    N = pos.shape[0]
+    K = cfg.lidar_num_others
+    diff = pos[None, :, :] - pos[:, None, :]                  # to other, (N,N,2)
+    d2 = jnp.sum(diff * diff, axis=-1)
+    pair_ok = (
+        present[None, :] & ~jnp.eye(N, dtype=bool)
+        & (d2 < cfg.lidar_distance**2)
+    )
+    d2_sort = jnp.where(pair_ok, d2, jnp.inf)
+    idx = jnp.argsort(d2_sort, axis=1)[:, :K]                 # (N, K)
+    ok = jnp.take_along_axis(d2_sort, idx, axis=1) < jnp.inf
+    rel = jnp.take_along_axis(diff, idx[..., None], axis=1)   # (N, K, 2)
+    cos_h, sin_h = jnp.cos(heading)[:, None], jnp.sin(heading)[:, None]
+    fwd = rel[..., 0] * cos_h + rel[..., 1] * sin_h
+    lat = -rel[..., 0] * sin_h + rel[..., 1] * cos_h
+    vel = jnp.stack([speed * jnp.cos(heading), speed * jnp.sin(heading)], -1)
+    rel_v = vel[idx] - vel[:, None, :]                        # (N, K, 2)
+    rv_f = rel_v[..., 0] * cos_h + rel_v[..., 1] * sin_h
+    rv_l = -rel_v[..., 0] * sin_h + rel_v[..., 1] * cos_h
+    feats = jnp.stack(
+        [
+            _to01(fwd / cfg.lidar_distance),
+            _to01(lat / cfg.lidar_distance),
+            _to01(rv_f / (2.0 * cfg.max_speed)),
+            _to01(rv_l / (2.0 * cfg.max_speed)),
+        ],
+        axis=-1,
+    )                                                          # (N, K, 4)
+    feats = jnp.where(ok[..., None], feats, 0.0)
+    return feats.reshape(N, 4 * K)
+
+
 def build_obs(scene: SceneData, cfg: EnvConfig, *, pos, heading, speed, steering,
-              yaw_rate, last_action, route_idx, s, lateral, lane_heading,
-              lidar_block, lcf, t=None, comm_msg=None, comm_valid=None):
+              yaw_rate, last_action, route_idx, waypoint_idx, s, lateral,
+              lane_heading, lidar_block, lcf, t=None, comm_msg=None,
+              comm_valid=None, present=None):
     """Assemble the full observation (N, cfg.obs_dim). Inputs are per-slot."""
-    left_w = scene.route_left_width[route_idx]
-    right_w = scene.route_right_width[route_idx]
+    left_w = scene.route_left_width[route_idx, waypoint_idx]
+    right_w = scene.route_right_width[route_idx, waypoint_idx]
     width = jnp.maximum(left_w + right_w, 1e-3)
 
     heading_err = wrap_angle(heading - lane_heading)
@@ -177,6 +215,10 @@ def build_obs(scene: SceneData, cfg: EnvConfig, *, pos, heading, speed, steering
     navi = navi_block(scene, cfg, pos, heading, route_idx, s)
 
     parts = [ego, navi, lidar_block]
+    if cfg.lidar_num_others > 0:
+        others = present if present is not None \
+            else jnp.ones(pos.shape[:-1], dtype=bool)
+        parts.append(nearest_others_block(cfg, pos, heading, speed, others))
     if cfg.obs_extra_dim > 0:
         parts.append(extras_block(scene, cfg, pos, heading))
     if cfg.add_traffic_light:

@@ -31,8 +31,8 @@ class SceneData:
     route_xy: jnp.ndarray        # (R, P, 2) uniform-spacing waypoints, tail-padded
     route_len: jnp.ndarray       # (R,) drivable arc length
     route_n_valid: jnp.ndarray   # (R,) number of valid waypoints
-    route_left_width: jnp.ndarray   # (R,) drivable width left of centerline
-    route_right_width: jnp.ndarray  # (R,) drivable width right of centerline
+    route_left_width: jnp.ndarray   # (R, P) drivable width left of centerline per waypoint
+    route_right_width: jnp.ndarray  # (R, P) drivable width right of centerline per waypoint
 
     # --- spawn points (destination == end of assigned route) ---
     spawn_xy: jnp.ndarray        # (S, 2) physical spawn location
@@ -76,7 +76,14 @@ class SceneBuildSpec:
     """
 
     routes: list            # list of (Ki, 2) polylines (raw, any spacing)
-    half_widths: list       # per route: float (symmetric) or (left, right) tuple
+    # Per route: float (symmetric), (left, right) tuple, or a piecewise
+    # profile [(s_start, left, right), ...] (sorted by s_start; the entry
+    # active at arc length s defines the corridor there). The compiled
+    # corridor is additionally clamped to the physical walls minus a
+    # half-vehicle margin (MetaDrive semantics: crossing a yellow line /
+    # leaving the lane set = out_of_road, hitting a sidewalk = crash_sidewalk
+    # -> out_of_road; SURVEY.md §2.2 `_is_out_of_road`).
+    half_widths: list
     spawns: list            # list[list[(route_idx, s0)]]
     walls: np.ndarray       # (Wn, 4) static wall segments
     bbox: tuple             # (xmin, xmax, ymin, ymax)
@@ -84,6 +91,11 @@ class SceneBuildSpec:
     lidar_angles: int = 72
     lidar_range: float = 40.0
     zone: tuple | None = None    # (xmin, xmax, ymin, ymax) special scene zone
+    # Clearance kept between the vehicle center and a physical wall before
+    # out-of-road fires. MetaDrive's sidewalks sit slightly beyond the road
+    # edge line, so a small margin (not the full half vehicle width)
+    # reproduces the effective boundary.
+    wall_margin: float = 0.4
 
 
 def _interp_on_route(route: np.ndarray, s: float) -> tuple[np.ndarray, float]:
@@ -118,8 +130,35 @@ def compile_scene(spec: SceneBuildSpec) -> SceneData:
             spawn_routes[i, j] = ri
             spawn_route_s[i, j] = sj
 
-    lw = np.array([w[0] if isinstance(w, (tuple, list)) else w for w in spec.half_widths], np.float32)
-    rw = np.array([w[1] if isinstance(w, (tuple, list)) else w for w in spec.half_widths], np.float32)
+    # per-waypoint corridor widths: configured profile ANDed with the
+    # perpendicular wall raycast (minus a half-vehicle margin)
+    P = route_xy.shape[1]
+    lw = np.zeros((len(resampled), P), np.float32)
+    rw = np.zeros((len(resampled), P), np.float32)
+    for i, r in enumerate(resampled):
+        prof = spec.half_widths[i]
+        s = np.arange(len(r)) * geo.WAYPOINT_SPACING
+        if isinstance(prof, (int, float)):
+            cl = np.full(len(r), float(prof))
+            cr = np.full(len(r), float(prof))
+        elif isinstance(prof, (tuple, list)) and len(prof) == 2 \
+                and isinstance(prof[0], (int, float)):
+            cl = np.full(len(r), float(prof[0]))
+            cr = np.full(len(r), float(prof[1]))
+        else:  # piecewise [(s_start, left, right), ...]
+            pieces = sorted(prof)
+            cl = np.full(len(r), float(pieces[0][1]))
+            cr = np.full(len(r), float(pieces[0][2]))
+            for s_start, l_val, r_val in pieces:
+                sel = s >= s_start
+                cl[sel], cr[sel] = float(l_val), float(r_val)
+        wall_l, wall_r = geo.perp_wall_distances(r, spec.walls)
+        lw_i = np.minimum(cl, np.maximum(wall_l - spec.wall_margin, 1.0))
+        rw_i = np.minimum(cr, np.maximum(wall_r - spec.wall_margin, 1.0))
+        lw[i, :len(r)] = lw_i
+        rw[i, :len(r)] = rw_i
+        lw[i, len(r):] = lw_i[-1]
+        rw[i, len(r):] = rw_i[-1]
 
     field, origin = geo.bake_lidar_field(
         spec.walls, spec.bbox, spec.lidar_cell, spec.lidar_angles, spec.lidar_range

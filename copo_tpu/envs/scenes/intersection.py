@@ -91,8 +91,11 @@ def build_intersection(num_agents: int | None = None, **cfg_overrides):
         for poly, y0, tag in _east_arm_routes():
             idx = len(routes)
             routes.append(_rot(poly, k))
-            # left of travel direction points toward the opposite road edge
-            half_widths.append((y0 + ROAD_HW, ROAD_HW - y0))
+            # left of travel = toward the road centerline (yellow line at
+            # lateral y0); crossing it is out-of-road, MetaDrive
+            # `on_yellow_continuous_line`. Right = own curb. Inside the
+            # junction the corner-fillet walls clamp the corridor instead.
+            half_widths.append((y0, ROAD_HW - y0))
             lane_routes.setdefault((k, y0), []).append(idx)
 
     # Spawn points: 5 longitudinal offsets per inbound lane; all routes of

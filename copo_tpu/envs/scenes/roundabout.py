@@ -105,8 +105,18 @@ def build_roundabout(num_agents: int | None = None, **cfg_overrides):
     for k in range(4):                       # entry arm
         for off in (1, 2, 3):                # exit arm offset (CCW quadrants)
             idx = len(routes)
-            routes.append(_rot(_arm_entry_route(off), k))
-            half_widths.append((ROAD_HW, ROAD_HW - LANE_W / 2))
+            poly = _rot(_arm_entry_route(off), k)
+            routes.append(poly)
+            # piecewise corridor: on the two-way arms the yellow line at
+            # lateral LANE_W/2 bounds the left side; on the ring the island /
+            # outer walls bound the corridor (clamped by the wall raycast)
+            seg = np.diff(np.asarray(poly, np.float64), axis=0)
+            total_len = float(np.linalg.norm(seg, axis=1).sum())
+            half_widths.append([
+                (0.0, LANE_W / 2, ROAD_HW - LANE_W / 2),
+                (ARM - 4.0, ROAD_HW, ROAD_HW),
+                (total_len - ARM + 4.0, LANE_W / 2, ROAD_HW - LANE_W / 2),
+            ])
             lane_routes.setdefault(k, []).append(idx)
 
     join_r = RING_R + ROAD_HW + 4.0

@@ -2,12 +2,15 @@
 
 Parity: `copo_code/copo/train/train.py:11-117` + `torch_copo/utils/train.py`
 (SURVEY.md §2.1 items 14-15): per-trial progress.csv + result.json rows,
-params.json, periodic checkpoints keeping the top-K by success rate, a
-CLIReporter-style console table with the reference's columns
-(`success/crash/out/max_step/length/cost/rc`), seed sweeps
-(`seed = i*100 + start_seed`, `train/train.py:56`), and insurance pickling of
-trial dataframes. Sequential trials instead of a Ray cluster — one TPU chip
-runs a trial orders of magnitude faster than the reference's worker fleet.
+params.json, periodic checkpoints keeping the top-K by a windowed success
+score (the reference keeps top-K by the smoother `episode_reward_mean`,
+`train/train.py:97-103`), a CLIReporter-style console table with the
+reference's columns (`success/crash/out/max_step/length/cost/rc`), seed
+sweeps (`seed = i*100 + start_seed`, `train/train.py:56`), auto-resume from
+the latest checkpoint (Tune `max_failures=1`, `train/train.py:104`), and
+insurance pickling of trial dataframes. Sequential trials instead of a Ray
+cluster — one TPU chip runs a trial orders of magnitude faster than the
+reference's worker fleet.
 """
 
 from __future__ import annotations
@@ -17,18 +20,24 @@ import dataclasses
 import json
 import os
 import pickle
+import shutil
 import time
 
 import jax
 import numpy as np
 
-from copo_tpu.runtime.checkpoint import save_checkpoint
+from copo_tpu.runtime.checkpoint import (latest_checkpoint, restore_checkpoint,
+                                         save_checkpoint)
 from copo_tpu.utils.pretty import SafeFallbackEncoder
 
 REPORT_COLUMNS = [
     "iter", "env_steps", "success", "crash", "out", "max_step",
     "length", "cost", "rc", "reward", "kl", "entropy",
 ]
+
+#: trailing window (iterations) for the checkpoint score — a single
+#: iteration's success rate is noisy/NaN-prone (VERDICT r1)
+SCORE_WINDOW = 10
 
 
 def _row_from_metrics(it, env_steps, m):
@@ -52,13 +61,14 @@ def _row_from_metrics(it, env_steps, m):
 class TrialLogger:
     """progress.csv + result.json writer for one trial directory."""
 
-    def __init__(self, trial_dir: str, params: dict):
+    def __init__(self, trial_dir: str, params: dict, resume: bool = False):
         os.makedirs(trial_dir, exist_ok=True)
         self.dir = trial_dir
         self.csv_path = os.path.join(trial_dir, "progress.csv")
         self.json_path = os.path.join(trial_dir, "result.json")
         self._csv_file = None
         self._writer = None
+        self._resume = resume and os.path.exists(self.csv_path)
         with open(os.path.join(trial_dir, "params.json"), "w") as f:
             json.dump(params, f, indent=2, cls=SafeFallbackEncoder)
 
@@ -66,9 +76,16 @@ class TrialLogger:
         flat = {k: (float(np.asarray(v)) if not isinstance(v, (int, float, str))
                     else v) for k, v in metrics.items()}
         if self._writer is None:
-            self._csv_file = open(self.csv_path, "w", newline="")
-            self._writer = csv.DictWriter(self._csv_file, fieldnames=sorted(flat))
-            self._writer.writeheader()
+            if self._resume:
+                with open(self.csv_path) as f:
+                    fields = f.readline().strip().split(",")
+                self._csv_file = open(self.csv_path, "a", newline="")
+                self._writer = csv.DictWriter(self._csv_file, fieldnames=fields)
+            else:
+                self._csv_file = open(self.csv_path, "w", newline="")
+                self._writer = csv.DictWriter(self._csv_file,
+                                              fieldnames=sorted(flat))
+                self._writer.writeheader()
         self._writer.writerow({k: flat.get(k, "") for k in self._writer.fieldnames})
         self._csv_file.flush()
         with open(self.json_path, "a") as f:
@@ -81,28 +98,54 @@ class TrialLogger:
 
 def run_trial(trainer, num_iters: int, trial_dir: str, *,
               checkpoint_freq: int = 10, keep_checkpoints: int = 5,
-              log_every: int = 1, verbose: bool = True, state=None) -> dict:
-    """Train one trial to completion with logging + top-K checkpointing."""
+              log_every: int = 1, verbose: bool = True, state=None,
+              resume: bool = True) -> dict:
+    """Train one trial to completion with logging + top-K checkpointing.
+
+    With `resume` (default), a trial directory holding checkpoints continues
+    from the latest one (the reference restarts crashed trials from their
+    last checkpoint via Tune `max_failures=1`, `train/train.py:104`).
+    """
     cfg_dict = dataclasses.asdict(trainer.cfg)
     env_dict = dataclasses.asdict(trainer.env_cfg)
+
+    start_it = 0
+    if state is None and resume:
+        ckpt_dir = os.path.join(trial_dir, "checkpoints")
+        latest = latest_checkpoint(ckpt_dir) if os.path.isdir(ckpt_dir) else None
+        if latest is not None:
+            template = trainer.init_state()
+            state = restore_checkpoint(latest, template)
+            start_it = int(np.asarray(state.iteration))
+            if verbose:
+                print(f"resumed from {latest} at iteration {start_it}")
     logger = TrialLogger(trial_dir, {"trainer": cfg_dict, "env": env_dict,
-                                     "algo": type(trainer).__name__})
+                                     "algo": type(trainer).__name__},
+                         resume=start_it > 0)
     state = trainer.init_state() if state is None else state
-    kept: list[tuple[float, str]] = []   # (success, path)
+    kept: list[tuple[float, str]] = []   # (score, path)
     env_steps = 0
     t0 = time.time()
     best_success = 0.0
+    success_window: list[float] = []
 
     if verbose:
         print(" | ".join(f"{c:>9}" for c in REPORT_COLUMNS))
 
     last_metrics = {}
-    for it in range(1, num_iters + 1):
+    for it in range(start_it + 1, num_iters + 1):
         if hasattr(trainer, "apply_curriculum"):
             state, _ = trainer.apply_curriculum(state, it - 1)
         state, metrics = trainer.train_iter(state)
+        # ONE host transfer for the whole metrics dict (per-scalar fetches
+        # cost a tunnel round-trip each on remote-attached TPU)
+        metrics = jax.device_get(metrics)
         env_steps += int(float(np.asarray(metrics["env_steps_this_iter"])))
         row = _row_from_metrics(it, env_steps, metrics)
+        if np.isfinite(row["success"]):
+            best_success = max(best_success, row["success"])
+            success_window.append(row["success"])
+            del success_window[:-SCORE_WINDOW]
         last_metrics = {**row,
                         **{k: v for k, v in metrics.items() if k not in row},
                         "time_total_s": time.time() - t0}
@@ -115,14 +158,13 @@ def run_trial(trainer, num_iters: int, trial_dir: str, *,
             ))
 
         if checkpoint_freq and it % checkpoint_freq == 0:
-            success = row["success"] if np.isfinite(row["success"]) else 0.0
-            best_success = max(best_success, success)
+            # windowed success: robust to single-iteration NaN/noise
+            score = float(np.mean(success_window)) if success_window else 0.0
             path = save_checkpoint(os.path.join(trial_dir, "checkpoints"),
                                    state, it)
-            kept.append((success, path))
+            kept.append((score, path))
             kept.sort(key=lambda x: -x[0])
             for _, old in kept[keep_checkpoints:]:
-                import shutil
                 shutil.rmtree(old, ignore_errors=True)
             kept = kept[:keep_checkpoints]
 

@@ -14,6 +14,7 @@ value head. CCPPO/CoPO subclass by widening value heads / advantage blending.
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Callable
 
 import jax
@@ -84,8 +85,17 @@ class IPPOTrainer:
         self.cfg = cfg
         self.tx = optax.adam(cfg.lr, eps=1e-7)
         # scene is a jit ARGUMENT: closing device arrays into jit as constants
-        # degrades both compile (>10x) and runtime (>40x on the axon backend)
-        self._jit_train_iter = jax.jit(self._train_iter)
+        # degrades both compile (>10x) and runtime (>40x on the axon backend).
+        # The iteration is three jitted phases (rollout / SGD / extra) so the
+        # harness can log the reference's sample/learn/meta time split
+        # (`timers/sample_time_ms`, `learn_time_ms` in RLlib progress.csv —
+        # SURVEY.md §5); trajectories stay on device between phases.
+        self._jit_rollout = jax.jit(self._rollout_phase)
+        self._jit_learn = jax.jit(self._learn_phase)
+        self._has_extra = (
+            type(self).extra_update is not IPPOTrainer.extra_update
+        )
+        self._jit_extra = jax.jit(self.extra_update) if self._has_extra else None
 
     # ---- hooks for subclasses (CCPPO / CoPO) -----------------------------
     def cc_obs_fn(self) -> Callable:
@@ -138,10 +148,11 @@ class IPPOTrainer:
     def default_env_params(self) -> EnvParams:
         return EnvParams.default(self.env_cfg.num_agents)
 
-    # ---- the jitted iteration -------------------------------------------
-    def _train_iter(self, scene, state: TrainState):
+    # ---- the jitted iteration phases --------------------------------------
+    def _rollout_phase(self, scene, state: TrainState):
+        """Sample phase: rollout + GAE + on-device episode metrics."""
         cfg, env_cfg = self.cfg, self.env_cfg
-        key, k_roll, k_sgd = jax.random.split(state.key, 3)
+        key, k_roll = jax.random.split(state.key)
 
         env_states, obs_T, traj, last_values = collect_rollout(
             scene, env_cfg, state.params, state.env_states, state.last_obs,
@@ -150,8 +161,13 @@ class IPPOTrainer:
         )
         traj = self.compute_advantages(traj, last_values)
         metrics = rollout_metrics(traj)
+        state = state.replace(env_states=env_states, last_obs=obs_T, key=key)
+        return state, traj, metrics
 
-        # ---- SGD over minibatches (train_one_step analogue) ----
+    def _learn_phase(self, scene, state: TrainState, traj):
+        """Learn phase: K epochs of minibatch SGD (train_one_step analogue)."""
+        cfg = self.cfg
+        key, k_sgd = jax.random.split(state.key)
         flat_keys = [
             "obs", "actions", "logp_old", "dist_mean_old",
             "dist_log_std_old", "normalized_advantages", "valid",
@@ -217,23 +233,42 @@ class IPPOTrainer:
             params=params,
             opt_state=opt_state,
             kl_coeff=kl_coeff,
-            env_states=env_states,
-            last_obs=obs_T,
             key=key,
             iteration=state.iteration + 1,
         )
-        new_state, extra = self.extra_update(new_state, traj, sgd_stats)
-        metrics = {
-            **metrics, **sgd_stats, **extra,
+        sgd_stats = {
+            **sgd_stats,
             "kl_coeff": kl_coeff,
             "env_steps_this_iter": jnp.float32(T * B),
             "agent_steps_this_iter": jnp.sum(traj["valid"]).astype(jnp.float32),
         }
-        return new_state, metrics
+        return new_state, sgd_stats
 
     def train_iter(self, state: TrainState):
-        """One training iteration (jit-cached). Returns (state, metrics)."""
-        return self._jit_train_iter(self.scene, state)
+        """One training iteration (jit-cached). Returns (state, metrics).
+
+        Phase boundaries are synced so metrics carry the reference's
+        sample/learn(/meta) wall-time split.
+        """
+        t0 = time.perf_counter()
+        state, traj, metrics = self._jit_rollout(self.scene, state)
+        jax.block_until_ready(traj["valid"])
+        t1 = time.perf_counter()
+        state, sgd_stats = self._jit_learn(self.scene, state, traj)
+        jax.block_until_ready(sgd_stats["kl"])
+        t2 = time.perf_counter()
+        extra = {}
+        if self._has_extra:
+            state, extra = self._jit_extra(state, traj, sgd_stats)
+            jax.block_until_ready(state.key)
+        t3 = time.perf_counter()
+        metrics = {
+            **metrics, **sgd_stats, **extra,
+            "sample_time_ms": (t1 - t0) * 1e3,
+            "learn_time_ms": (t2 - t1) * 1e3,
+            "meta_time_ms": (t3 - t2) * 1e3,
+        }
+        return state, metrics
 
     def train(self, state: TrainState, num_iters: int, log_fn=None):
         for _ in range(num_iters):

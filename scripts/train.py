@@ -46,9 +46,9 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-freq", type=int, default=10)
     p.add_argument("--results-root", type=str, default="results")
     p.add_argument("--test", action="store_true", help="tiny smoke config")
-    # training default is the MetaDrive MA default (crash_done=False);
-    # pass --crash-done to train with terminating crashes instead
-    p.add_argument("--crash-done", action="store_true")
+    # the MetaDrive MA default terminates crashed agents (crash_done=True);
+    # pass --no-crash-done to ablate non-terminating crashes
+    p.add_argument("--no-crash-done", action="store_true")
     return p
 
 
@@ -56,8 +56,8 @@ def make_trainer(args):
     scene_kwargs = {}
     if args.algo == "copo":
         scene_kwargs["lcf_enabled"] = True
-    if getattr(args, "crash_done", False):
-        scene_kwargs["crash_done"] = True
+    if getattr(args, "no_crash_done", False):
+        scene_kwargs["crash_done"] = False
     scene, env_cfg = make_scene(args.env, num_agents=args.num_agents,
                                 **scene_kwargs)
     common = dict(

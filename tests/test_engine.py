@@ -138,7 +138,9 @@ def test_vec_env(inter):
 
 
 def test_neighbour_semantics(inter, shared):
-    # nei_reward = mean reward of in-radius others; global = mean over valid
+    """Direct numeric check of nei_reward / num_neighbours / global_reward
+    (reference `env_wrappers.py:318-326`: nei_reward = mean native reward of
+    agents within `neighbours_distance`, global = mean over all active)."""
     scene, cfg = inter
     eng, step, params = shared
     state, _ = eng.reset(jax.random.PRNGKey(6), params)
@@ -146,26 +148,108 @@ def test_neighbour_semantics(inter, shared):
         state, jnp.tile(jnp.array([0.0, 0.5]), (cfg.num_agents, 1)), params
     )
     info = out.info
-    r = np.asarray(out.reward)
+    native = np.asarray(info.native_reward)
     valid = np.asarray(info.valid)
-    g = r[valid].mean()
+    g = native[valid].mean()
     np.testing.assert_allclose(np.asarray(info.global_reward)[valid], g, atol=1e-5)
-    # manual neighbour check for agent 0
-    pos = np.asarray(state.pos)  # post-step positions
-    # recompute from info idea is indirect; just sanity: no self in neighbours
-    assert np.asarray(info.num_neighbours).min() >= 0
+
+    # recompute the neighbour means from the post-step positions the engine
+    # used (valid agents keep their stepped pose; respawn fills only free slots)
+    pos = np.asarray(state.pos)
+    d = np.linalg.norm(pos[:, None, :] - pos[None, :, :], axis=-1)
+    mask = (d < cfg.neighbours_distance) & valid[:, None] & valid[None, :]
+    np.fill_diagonal(mask, False)
+    n_nei = mask.sum(axis=1)
+    np.testing.assert_array_equal(np.asarray(info.num_neighbours), n_nei)
+    expect = np.where(n_nei > 0, (mask @ native) / np.maximum(n_nei, 1), 0.0)
+    np.testing.assert_allclose(np.asarray(info.nei_reward), expect, atol=1e-5)
+    assert n_nei.max() > 0  # the scenario actually has neighbours
 
 
-def test_crash_done_training_vs_eval_semantics(inter):
-    """Training default is crash_done=False (MetaDrive MA default; the
-    published runs set only neighbours_distance/start_seed — see the shipped
-    params.json), while eval forces crash_done=True
-    (eval/evaluate_population.py:106-132). Contact must penalize either way,
-    but only the eval config terminates the agent."""
+def test_terminal_reward_replacement(inter):
+    """MetaDrive 0.2.5 reward_function: a terminal event REPLACES the step
+    reward (arrive -> +success_reward; out_of_road -> -out_of_road_penalty),
+    it is not added to the dense term."""
     import dataclasses
 
     scene, cfg = inter
-    assert cfg.crash_done is False
+    eng = DrivingEngine(scene, cfg)
+    params = EnvParams.default(cfg.num_agents)
+    state, _ = eng.reset(jax.random.PRNGKey(11), params)
+    # teleport agent 0 to just short of its route end: one step forward arrives
+    route = int(state.route[0])
+    n_valid = int(scene.route_n_valid[route])
+    end = np.asarray(scene.route_xy[route, n_valid - 1])
+    prev = np.asarray(scene.route_xy[route, n_valid - 2])
+    d = (end - prev) / np.linalg.norm(end - prev)
+    state = state.replace(
+        pos=state.pos.at[0].set(jnp.asarray(end - 2.5 * d)),
+        heading=state.heading.at[0].set(float(np.arctan2(d[1], d[0]))),
+        speed=state.speed.at[0].set(8.0),
+        waypoint_idx=state.waypoint_idx.at[0].set(n_valid - 3),
+        s=state.s.at[0].set((n_valid - 3) * 2.0),
+    )
+    state2, out = eng.step(
+        state, jnp.tile(jnp.array([0.0, 1.0]), (cfg.num_agents, 1)), params
+    )
+    assert bool(out.info.arrive_dest[0])
+    np.testing.assert_allclose(float(out.reward[0]), cfg.success_reward)
+
+    # out-of-road replaces the reward with exactly -penalty
+    state3 = state.replace(
+        pos=state.pos.at[0].set(state.pos[0]),  # keep route position
+        lateral=state.lateral.at[0].set(0.0),
+    )
+    big_left = jnp.tile(jnp.array([1.0, 1.0]), (cfg.num_agents, 1))
+    r0 = None
+    for _ in range(40):
+        state3, out3 = eng.step(state3, big_left, params)
+        if bool(out3.info.out_of_road[0]):
+            r0 = float(out3.reward[0])
+            break
+    assert r0 is not None
+    np.testing.assert_allclose(r0, -cfg.out_of_road_penalty)
+
+
+def test_arrive_independent_of_out_of_road(inter):
+    """arrive_dest wins over out_of_road (MetaDrive done_function priority);
+    the arrive flag must not be suppressed by the OOR test in the same step."""
+    scene, cfg = inter
+    eng = DrivingEngine(scene, cfg)
+    params = EnvParams.default(cfg.num_agents)
+    state, _ = eng.reset(jax.random.PRNGKey(12), params)
+    route = int(state.route[0])
+    n_valid = int(scene.route_n_valid[route])
+    end = np.asarray(scene.route_xy[route, n_valid - 1])
+    prev = np.asarray(scene.route_xy[route, n_valid - 2])
+    d = (end - prev) / np.linalg.norm(end - prev)
+    left = np.array([-d[1], d[0]])
+    # just short of the destination but laterally OUTSIDE the corridor
+    lw = float(scene.route_left_width[route, n_valid - 2])
+    state = state.replace(
+        pos=state.pos.at[0].set(jnp.asarray(end - 1.0 * d + (lw + 1.0) * left)),
+        heading=state.heading.at[0].set(float(np.arctan2(d[1], d[0]))),
+        speed=state.speed.at[0].set(8.0),
+        waypoint_idx=state.waypoint_idx.at[0].set(n_valid - 2),
+        s=state.s.at[0].set((n_valid - 2) * 2.0),
+    )
+    state2, out = eng.step(
+        state, jnp.tile(jnp.array([0.0, 1.0]), (cfg.num_agents, 1)), params
+    )
+    assert bool(out.info.arrive_dest[0])
+    assert not bool(out.info.out_of_road[0])
+    np.testing.assert_allclose(float(out.reward[0]), cfg.success_reward)
+
+
+def test_crash_done_training_vs_eval_semantics(inter):
+    """The MA default terminates on crash (MetaDrive MULTI_AGENT default
+    crash_done=True; eval also passes it explicitly,
+    eval/evaluate_population.py:106-132). Contact must penalize either way,
+    but only crash_done terminates the agent."""
+    import dataclasses
+
+    scene, cfg = inter
+    assert cfg.crash_done is True
     assert cfg.delay_done == 25
 
     for crash_done in (False, True):

@@ -99,6 +99,39 @@ def test_tollgate_zone_speed_limit_penalizes():
     assert not bool(in_zone(scene, outside)[0])
 
 
+def test_lidar_num_others_block():
+    """`vehicle_config.lidar.num_others` (SURVEY.md §2.2): 4 features per
+    nearest-K vehicle — ego-frame relative position + relative velocity,
+    mapped to [0,1]; zeros when no vehicle is in range."""
+    scene, cfg = make_scene("intersection", num_agents=4, lidar_num_others=2)
+    assert cfg.obs_dim == 91 + 8
+    eng = DrivingEngine(scene, cfg)
+    params = EnvParams.default(cfg.num_agents)
+    st, obs = eng.reset(jax.random.PRNGKey(0), params)
+    assert obs.shape == (4, cfg.obs_dim)
+
+    # place agent 1 exactly 10 m ahead of agent 0 (same heading, both still)
+    h0 = float(st.heading[0])
+    fwd = jnp.array([jnp.cos(h0), jnp.sin(h0)])
+    st = st.replace(
+        # the other two go far outside lidar range
+        pos=st.pos.at[1].set(st.pos[0] + 10.0 * fwd)
+               .at[2].set(st.pos[0] + 500.0 * fwd)
+               .at[3].set(st.pos[0] - 500.0 * fwd),
+        heading=st.heading.at[1].set(h0),
+        speed=st.speed * 0.0,
+    )
+    from copo_tpu.envs.engine import observe
+    obs = observe(scene, cfg, st)
+    start = 19 + cfg.lidar_num_lasers
+    blk0 = np.asarray(obs[0, start:start + 8]).reshape(2, 4)
+    # nearest other: 10 m straight ahead -> fwd feature (10/40 + 1)/2
+    np.testing.assert_allclose(blk0[0, 0], 0.5 + 10.0 / 40.0 / 2, atol=1e-5)
+    np.testing.assert_allclose(blk0[0, 1], 0.5, atol=1e-5)      # no lateral
+    np.testing.assert_allclose(blk0[0, 2:], 0.5, atol=1e-5)     # no rel vel
+    np.testing.assert_array_equal(blk0[1], 0.0)                 # only 1 in range
+
+
 def test_default_configs_unchanged():
     """Features default off: obs/action dims match the reference contract."""
     scene, cfg = make_scene("intersection")
