@@ -250,17 +250,21 @@ class IPPOTrainer:
         Phase boundaries are synced so metrics carry the reference's
         sample/learn(/meta) wall-time split.
         """
+        # Sync via a scalar device_get: on the remote-attached TPU backend
+        # (axon) `block_until_ready` returns before execution finishes, so a
+        # tiny fetch is the only reliable phase barrier (~1 ms round trip,
+        # negligible against the phases it delimits).
         t0 = time.perf_counter()
         state, traj, metrics = self._jit_rollout(self.scene, state)
-        jax.block_until_ready(traj["valid"])
+        jax.device_get(jax.tree_util.tree_leaves(metrics)[0])
         t1 = time.perf_counter()
         state, sgd_stats = self._jit_learn(self.scene, state, traj)
-        jax.block_until_ready(sgd_stats["kl"])
+        jax.device_get(sgd_stats["kl"])
         t2 = time.perf_counter()
         extra = {}
         if self._has_extra:
             state, extra = self._jit_extra(state, traj, sgd_stats)
-            jax.block_until_ready(state.key)
+            jax.device_get(jax.tree_util.tree_leaves(extra or state.key)[0])
         t3 = time.perf_counter()
         metrics = {
             **metrics, **sgd_stats, **extra,
