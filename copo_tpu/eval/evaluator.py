@@ -76,6 +76,11 @@ def _episode(scene: SceneData, cfg: EnvConfig, policy_fn, policy_params,
 _jit_episode = jax.jit(_episode, static_argnums=(1, 2))
 
 
+#: window length for traffic-efficiency rates (reference RecorderEnv logs
+#: arrival/crash counts per 300-step window, `eval/recoder.py:177-349`)
+EFFICIENCY_WINDOW = 300
+
+
 def episode_result(raw) -> dict:
     """Reduce raw per-step arrays to the reference's episode report columns."""
     done = np.asarray(raw["done"])
@@ -98,7 +103,24 @@ def episode_result(raw) -> dict:
 
     valid = np.asarray(raw["valid"])
     vel = np.asarray(raw["velocity"])
+
+    # per-300-step traffic-efficiency rates: event counts per window,
+    # averaged over the episode's windows (recoder.py:177-349 equivalent)
+    T = done.shape[0]
+    win = min(T, EFFICIENCY_WINDOW)
+    n_win = T // win
+    cut = n_win * win
+
+    def per_window(k):
+        # counts per window, rescaled to the nominal window length when the
+        # horizon is shorter (tiny test configs)
+        ev = np.asarray(raw[k])[:cut].reshape(n_win, win, -1)
+        return float(ev.sum(axis=(1, 2)).mean()) * (EFFICIENCY_WINDOW / win)
+
     return {
+        f"arrive_per_{EFFICIENCY_WINDOW}_steps": per_window("arrive"),
+        f"crash_per_{EFFICIENCY_WINDOW}_steps": per_window("crash"),
+        f"out_per_{EFFICIENCY_WINDOW}_steps": per_window("oor"),
         "success_rate": arrive / max(total, 1.0),
         "crash_rate": crash / max(total, 1.0),
         "out_of_road_rate": oor / max(total, 1.0),

@@ -22,9 +22,12 @@ from copo_tpu.eval.evaluator import evaluate_policy, summarize
 from copo_tpu.eval.npz import load_policy_npz
 
 
-def eval_trial(trial_dir, num_episodes, out_rows):
-    from copo_tpu.runtime.checkpoint import latest_checkpoint, restore_checkpoint
-    from scripts.train import make_trainer  # reuse config plumbing
+def eval_trial(trial_dir, num_episodes, out_rows, out_dir):
+    """Evaluate EVERY kept checkpoint of one trial (the reference walks all
+    checkpoints per trial, `eval.py:66-139`), writing one per-episode row per
+    checkpoint to `<out_dir>/<trial>.csv` and a per-trial summary (the best
+    checkpoint by success) to `out_rows`."""
+    from copo_tpu.runtime.checkpoint import restore_checkpoint
 
     with open(os.path.join(trial_dir, "params.json")) as f:
         params_json = json.load(f)
@@ -41,8 +44,13 @@ def eval_trial(trial_dir, num_episodes, out_rows):
         kw["lcf_enabled"] = True
     scene, cfg = make_scene(env_name, **kw)
 
-    ckpt = latest_checkpoint(os.path.join(trial_dir, "checkpoints"))
-    if ckpt is None:
+    ckpt_root = os.path.join(trial_dir, "checkpoints")
+    ckpts = sorted(
+        (os.path.join(ckpt_root, d) for d in os.listdir(ckpt_root)
+         if d.startswith("step_")),
+        key=lambda p: int(os.path.basename(p).split("_")[1]),
+    ) if os.path.isdir(ckpt_root) else []
+    if not ckpts:
         print(f"  no checkpoint in {trial_dir}")
         return
     # rebuild a state template via the recorded algo
@@ -55,14 +63,25 @@ def eval_trial(trial_dir, num_episodes, out_rows):
     )
     from scripts.train import make_trainer as mk
     trainer = mk(ns)
-    state = restore_checkpoint(ckpt, trainer.init_state())
+    template = trainer.init_state()
 
-    rows = evaluate_policy(scene, cfg, state.params, num_episodes=num_episodes)
-    s = summarize(rows)
-    s["trial"] = os.path.basename(trial_dir)
-    s["checkpoint"] = os.path.basename(ckpt)
-    out_rows.append(s)
-    print(f"  {s['trial']}: success={s['success_rate']:.3f}")
+    trial = os.path.basename(trial_dir)
+    ep_rows, summaries = [], []
+    for ckpt in ckpts:
+        state = restore_checkpoint(ckpt, template)
+        rows = evaluate_policy(scene, cfg, state.params,
+                               num_episodes=num_episodes)
+        for r in rows:
+            ep_rows.append({"checkpoint": os.path.basename(ckpt), **r})
+        s = summarize(rows)
+        s["trial"], s["checkpoint"] = trial, os.path.basename(ckpt)
+        summaries.append(s)
+        print(f"  {trial} @ {s['checkpoint']}: success={s['success_rate']:.3f}")
+    with open(os.path.join(out_dir, f"{trial}.csv"), "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(ep_rows[0]))
+        w.writeheader()
+        w.writerows(ep_rows)
+    out_rows.append(max(summaries, key=lambda s: s["success_rate"]))
 
 
 if __name__ == "__main__":
@@ -90,7 +109,7 @@ if __name__ == "__main__":
             if os.path.isdir(tdir) and os.path.exists(
                 os.path.join(tdir, "params.json")
             ):
-                eval_trial(tdir, args.num_episodes, out_rows)
+                eval_trial(tdir, args.num_episodes, out_rows, args.out)
     if out_rows:
         path = os.path.join(args.out, "evaluate_results.csv")
         with open(path, "w", newline="") as f:
