@@ -2,15 +2,19 @@
 
 Reference: `MultiAgentIntersectionEnv` (metadrive 0.2.5, imported at
 `train_all_copo_dist.py:9`), 30 agents, obs dim 91 (SURVEY.md §2.2 — npz
-first-layer shapes). Geometry re-designed for static compilation: four arms,
-two lanes per direction, right-hand traffic; routes = entry straight + turn
-arc (or straight-through) + exit straight, resampled at uniform spacing.
+first-layer shapes), map_config exit_length=60 / lane_num=3 (three lanes per
+direction — junction conflict density depends on it: the 2-lane variant caps
+IPPO success near 50% where the published IPPO reaches ~72%). Geometry
+re-designed for static compilation: four arms, right-hand traffic; routes =
+entry straight + turn arc (or straight-through) + exit straight, resampled at
+uniform spacing.
 
-Layout (lane width w, road half-width 2w, junction half-size BOX > 2w so the
+Layout (lane width w, road half-width 3w, junction half-size BOX > 3w so the
 outer-lane right-turn radius clears the vehicle's minimum turning radius):
-  a road along +x carries -x traffic at y in (0, 2w) and +x traffic in
-  (-2w, 0); analogously for the y-axis road. Inner lane (offset w/2) turns
-  left or goes straight; outer lane (3w/2) turns right or straight.
+  a road along +x carries -x traffic at y in (0, 3w) and +x traffic in
+  (-3w, 0); analogously for the y-axis road. Innermost lane (offset w/2)
+  turns left or goes straight; middle lane goes straight; outermost lane
+  (5w/2) turns right or goes straight.
 """
 
 from __future__ import annotations
@@ -22,8 +26,9 @@ from copo_tpu.envs.config import EnvConfig
 from copo_tpu.envs.scene import SceneBuildSpec, compile_scene
 
 LANE_W = 3.5
-ROAD_HW = 2 * LANE_W   # road half-width (2 lanes each way)
-BOX = 11.0             # junction half-size (corner radius BOX - ROAD_HW = 4 m)
+N_LANES = 3            # lanes per direction (MetaDrive MAIntersection lane_num=3)
+ROAD_HW = N_LANES * LANE_W   # road half-width
+BOX = 14.0             # junction half-size (corner radius BOX - ROAD_HW = 3.5 m)
 ARM = 60.0
 
 
@@ -39,7 +44,12 @@ def _east_arm_routes():
 
     Returns list of (polyline, entry_lane_offset, tag)."""
     routes = []
-    for y0, turns in ((LANE_W / 2, ("straight", "left")), (3 * LANE_W / 2, ("straight", "right"))):
+    lane_turns = (
+        (LANE_W / 2, ("straight", "left")),        # innermost
+        (3 * LANE_W / 2, ("straight",)),           # middle
+        (5 * LANE_W / 2, ("straight", "right")),   # outermost
+    )
+    for y0, turns in lane_turns:
         entry = geo.straight((BOX + ARM, y0), (BOX, y0))
         for tag in turns:
             if tag == "straight":

@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 import jax
+import numpy as np
 import orbax.checkpoint as ocp
 
 
@@ -29,6 +30,25 @@ def restore_checkpoint(path: str, state_template):
     structure/shapes — use trainer.init_state())."""
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(os.path.abspath(path), target=state_template)
+
+
+def restore_params(path: str):
+    """Restore only the policy params pytree from a TrainState checkpoint.
+
+    Template-free (PyTreeCheckpointer restores the raw stored tree), so eval
+    tooling can load any trial's checkpoint without knowing its num_envs /
+    optimizer layout (the reference's eval likewise loads just policy weights,
+    `eval.py:66-139`)."""
+    ckptr = ocp.PyTreeCheckpointer()
+    path = os.path.abspath(path)
+    meta = ckptr.metadata(path)
+    # restore as host numpy: ignores the stored device sharding, so a
+    # TPU-written checkpoint loads anywhere (CPU eval, different topology)
+    restore_args = jax.tree_util.tree_map(
+        lambda m: ocp.RestoreArgs(restore_type=np.ndarray), meta.item_metadata
+    )
+    tree = ckptr.restore(path, restore_args=restore_args)
+    return tree["params"]
 
 
 def latest_checkpoint(ckpt_dir: str) -> str | None:

@@ -27,7 +27,7 @@ def eval_trial(trial_dir, num_episodes, out_rows, out_dir):
     checkpoints per trial, `eval.py:66-139`), writing one per-episode row per
     checkpoint to `<out_dir>/<trial>.csv` and a per-trial summary (the best
     checkpoint by success) to `out_rows`."""
-    from copo_tpu.runtime.checkpoint import restore_checkpoint
+    from copo_tpu.runtime.checkpoint import restore_params
 
     with open(os.path.join(trial_dir, "params.json")) as f:
         params_json = json.load(f)
@@ -53,23 +53,12 @@ def eval_trial(trial_dir, num_episodes, out_rows, out_dir):
     if not ckpts:
         print(f"  no checkpoint in {trial_dir}")
         return
-    # rebuild a state template via the recorded algo
-    algo = params_json.get("algo", "IPPOTrainer")
-    ns = argparse.Namespace(
-        algo={"IPPOTrainer": "ippo", "IPPOCLTrainer": "cl",
-              "CCPPOTrainer": "ccppo", "CoPOTrainer": "copo"}[algo],
-        env=env_name, fuse="mf", num_agents=None, num_envs=2, rollout_T=4,
-        lr=3e-4, seed=0, test=True,
-    )
-    from scripts.train import make_trainer as mk
-    trainer = mk(ns)
-    template = trainer.init_state()
 
     trial = os.path.basename(trial_dir)
     ep_rows, summaries = [], []
     for ckpt in ckpts:
-        state = restore_checkpoint(ckpt, template)
-        rows = evaluate_policy(scene, cfg, state.params,
+        params = restore_params(ckpt)
+        rows = evaluate_policy(scene, cfg, params,
                                num_episodes=num_episodes)
         for r in rows:
             ep_rows.append({"checkpoint": os.path.basename(ckpt), **r})

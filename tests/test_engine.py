@@ -31,8 +31,8 @@ def shared(inter):
 
 def test_scene_compiles(inter):
     scene, cfg = inter
-    assert scene.num_routes == 16  # 4 arms x (2 straight + left + right)
-    assert scene.num_spawns == 40
+    assert scene.num_routes == 20  # 4 arms x 3 lanes x movements (2+1+2)
+    assert scene.num_spawns == 60
     assert scene.route_xy.ndim == 3
     # routes are uniformly spaced
     seg = np.diff(np.asarray(scene.route_xy[0, : int(scene.route_n_valid[0])]), axis=0)
