@@ -6,11 +6,13 @@ aisle (travel +y) with angled bays on both sides; agents either drive from
 the entrance into a destination bay ("park") or pull out of a bay and drive
 to the exit ("leave"), matching the reference's two task flavours.
 
-Forward-drivability design (our dynamics have no reverse gear): park bays on
-the right are tilted up-aisle (swing in nose-first from below); leave bays on
-the left are tilted down-aisle (pull out nose-first continuing up-aisle).
-Bay angle 55 deg keeps every transition above the bicycle model's ~3.1 m
-minimum turning radius.
+Forward-drivability design: park bays on the right are tilted up-aisle
+(swing in nose-first from below); leave bays on the left are tilted
+down-aisle (pull out nose-first continuing up-aisle). Bay angle 55 deg keeps
+every transition above the bicycle model's ~3.1 m minimum turning radius, so
+routes never require reversing (the dynamics do support a capped reverse,
+`dynamics.py max_reverse_speed`, used for backing out of contact — the bay
+geometry just doesn't depend on it).
 """
 
 from __future__ import annotations

@@ -27,9 +27,40 @@ def save_checkpoint(ckpt_dir: str, state, step: int):
 
 def restore_checkpoint(path: str, state_template):
     """Restore a TrainState saved by save_checkpoint (template gives pytree
-    structure/shapes — use trainer.init_state())."""
-    ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(os.path.abspath(path), target=state_template)
+    structure/shapes — use trainer.init_state()).
+
+    Forward-compatible: leaves present in the checkpoint overlay the template
+    where path and shape match; fields added to the state after the
+    checkpoint was written keep their template (init) values, so old trials
+    resume across state-layout evolution."""
+    import jax.numpy as jnp
+    from jax.tree_util import tree_flatten_with_path, tree_unflatten
+
+    stored = {
+        tuple(str(k) for k in kp): v
+        for kp, v in tree_flatten_with_path(_restore_tree(path))[0]
+    }
+    leaves, treedef = tree_flatten_with_path(state_template)
+    out = []
+    for kp, tmpl in leaves:
+        key = tuple(str(k) for k in kp)
+        v = stored.get(key)
+        if v is not None and tuple(v.shape) == tuple(tmpl.shape):
+            out.append(jnp.asarray(v, dtype=tmpl.dtype))
+        else:
+            out.append(tmpl)
+    return tree_unflatten(treedef, out)
+
+
+def _restore_tree(path: str):
+    """Restore the raw stored pytree as host numpy (topology-independent)."""
+    ckptr = ocp.PyTreeCheckpointer()
+    path = os.path.abspath(path)
+    meta = ckptr.metadata(path)
+    restore_args = jax.tree_util.tree_map(
+        lambda m: ocp.RestoreArgs(restore_type=np.ndarray), meta.item_metadata
+    )
+    return ckptr.restore(path, restore_args=restore_args)
 
 
 def restore_params(path: str):
@@ -39,16 +70,7 @@ def restore_params(path: str):
     tooling can load any trial's checkpoint without knowing its num_envs /
     optimizer layout (the reference's eval likewise loads just policy weights,
     `eval.py:66-139`)."""
-    ckptr = ocp.PyTreeCheckpointer()
-    path = os.path.abspath(path)
-    meta = ckptr.metadata(path)
-    # restore as host numpy: ignores the stored device sharding, so a
-    # TPU-written checkpoint loads anywhere (CPU eval, different topology)
-    restore_args = jax.tree_util.tree_map(
-        lambda m: ocp.RestoreArgs(restore_type=np.ndarray), meta.item_metadata
-    )
-    tree = ckptr.restore(path, restore_args=restore_args)
-    return tree["params"]
+    return _restore_tree(path)["params"]
 
 
 def latest_checkpoint(ckpt_dir: str) -> str | None:
