@@ -1,18 +1,22 @@
 #!/usr/bin/env python
 """Throughput benchmark. Prints ONE JSON line.
 
-Two measurements (VERDICT r1 "fix the throughput story"):
+Two measurements (VERDICT r1 "fix the throughput story"; r2 weak #8 "bench
+methodology is fragile" — now median-of-5 with a per-rep device fetch as the
+sync barrier, since `block_until_ready` returns early on the remote-attached
+TPU backend):
   * rollout hot path — policy MLP inference + vectorized env step (the moral
     equivalent of the reference's Ray `sample_throughput`, SURVEY.md §6;
-    its one recorded sample is ~15.6k obs/s on a CPU node), and
-  * full CoPO train iteration — rollout + 3-stream GAE + PPO SGD + LCF
-    meta-update (`torch_copo/algo_copo.py:516-661` as one fused program).
+    its one recorded sample is ~15.6k obs/s on a CPU node), measured over a
+    batch-size sweep B ∈ {64, 128, 256, 512} (the trainer's operating shape
+    is B=64; the throughput-optimal shape is larger), and
+  * full CoPO train iteration at the trainer's real operating shape — rollout
+    + 3-stream GAE + PPO SGD + LCF meta-update
+    (`torch_copo/algo_copo.py:516-661` as one fused program).
 
-Both are reported in BOTH units: env-steps/s (one vectorized env.step = B
-steps) and agent-steps/s (env-steps x live agents). The headline metric is
-rollout env-steps/s, judged against the BASELINE.json north star of
-1M env-steps/s aggregate per host; the other numbers ride along in the same
-JSON line.
+Headline metric: rollout env-steps/s at the best B (one vectorized env.step
+of B envs = B env-steps), judged against the BASELINE.json north star of 1M
+env-steps/s aggregate per host. The per-B curve rides along in the JSON line.
 """
 
 import json
@@ -23,6 +27,11 @@ import jax
 BASELINE_ENV_STEPS_PER_S = 1_000_000.0
 
 
+def _median(xs):
+    xs = sorted(xs)
+    return xs[len(xs) // 2]
+
+
 def bench_rollout(on_accel: bool):
     import jax.numpy as jnp
 
@@ -31,17 +40,13 @@ def bench_rollout(on_accel: bool):
     from copo_tpu.envs.engine import vec_reset, vec_step
     from copo_tpu.models.mlp import DiagGaussian, init_model, policy_logits
 
-    B = 512 if on_accel else 16
+    batch_sizes = (64, 128, 256, 512) if on_accel else (16,)
     T = 64 if on_accel else 8
     N = 40
 
     scene, cfg = make_scene("intersection", num_agents=N)
     params_env = EnvParams.default(N)
     k_env, k_model, k_roll = jax.random.split(jax.random.PRNGKey(0), 3)
-    env_keys = jax.random.split(k_env, B)
-    env_states, obs = jax.jit(vec_reset, static_argnums=(1,))(
-        scene, cfg, env_keys, params_env
-    )
     params = init_model(k_model, cfg.obs_dim, cfg.action_dim)
 
     def rollout_fn(scene, cfg, params, env_states, obs, env_params, key, T):
@@ -57,21 +62,32 @@ def bench_rollout(on_accel: bool):
         return env_states, obs, live.sum()
 
     roll = jax.jit(rollout_fn, static_argnums=(1, 7))
-    env_states, obs, _ = roll(scene, cfg, params, env_states, obs, params_env, k_roll, T)
-    jax.block_until_ready(obs)
 
+    per_b = {}
+    best = (0.0, 0.0)  # (env_sps, agent_sps)
     reps = 5 if on_accel else 2
-    agent_steps = 0
-    t0 = time.perf_counter()
-    for i in range(reps):
-        env_states, obs, live = roll(
-            scene, cfg, params, env_states, obs, params_env,
-            jax.random.fold_in(k_roll, i), T,
+    for B in batch_sizes:
+        env_keys = jax.random.split(k_env, B)
+        env_states, obs = jax.jit(vec_reset, static_argnums=(1,))(
+            scene, cfg, env_keys, params_env
         )
-        agent_steps += int(live)
-    jax.block_until_ready(obs)
-    dt = time.perf_counter() - t0
-    return reps * T * B / dt, agent_steps / dt
+        _, _, live = roll(scene, cfg, params, env_states, obs, params_env, k_roll, T)
+        int(live)  # compile + sync
+        times, agent_frac = [], 1.0
+        for i in range(reps):
+            t0 = time.perf_counter()
+            env_states, obs, live = roll(
+                scene, cfg, params, env_states, obs, params_env,
+                jax.random.fold_in(k_roll, i), T,
+            )
+            agent_frac = int(live) / (T * B * N)  # fetch = per-rep sync barrier
+            times.append(time.perf_counter() - t0)
+        med = _median(times)
+        env_sps = T * B / med
+        per_b[str(B)] = round(env_sps, 1)
+        if env_sps > best[0]:
+            best = (env_sps, env_sps * N * agent_frac)
+    return best[0], best[1], per_b
 
 
 def bench_copo_train(on_accel: bool):
@@ -90,19 +106,19 @@ def bench_copo_train(on_accel: bool):
     state, m = trainer.train_iter(state)  # compile all three phases
 
     reps = 5 if on_accel else 1
-    agent_steps = 0
-    t0 = time.perf_counter()
+    times, agent_steps = [], 0
     for _ in range(reps):
+        t0 = time.perf_counter()
         state, m = trainer.train_iter(state)
-        agent_steps += int(m["agent_steps_this_iter"])
-    jax.block_until_ready(state.key)
-    dt = time.perf_counter() - t0
-    return reps * T * B / dt, agent_steps / dt
+        agent_steps = int(m["agent_steps_this_iter"])  # per-rep sync barrier
+        times.append(time.perf_counter() - t0)
+    med = _median(times)
+    return T * B / med, agent_steps / med
 
 
 def main():
     on_accel = jax.devices()[0].platform != "cpu"
-    env_sps, agent_sps = bench_rollout(on_accel)
+    env_sps, agent_sps, per_b = bench_rollout(on_accel)
     train_env_sps, train_agent_sps = bench_copo_train(on_accel)
     print(json.dumps({
         "metric": "env_steps_per_s",
@@ -110,6 +126,7 @@ def main():
         "unit": "env-steps/s",
         "vs_baseline": round(env_sps / BASELINE_ENV_STEPS_PER_S, 4),
         "agent_steps_per_s": round(agent_sps, 1),
+        "rollout_env_steps_per_s_by_batch": per_b,
         "copo_train_env_steps_per_s": round(train_env_sps, 1),
         "copo_train_agent_steps_per_s": round(train_agent_sps, 1),
     }))

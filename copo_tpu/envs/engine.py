@@ -138,22 +138,42 @@ def _respawn(scene: SceneData, cfg: EnvConfig, state: EnvState, params: EnvParam
         )  # (S,)
         spawn_free = ~occupied
 
-        # order spawn indices: free ones first, randomly shuffled
+        # Random rank of each free spawn point WITHOUT a sort (a per-step
+        # batched argsort was ~1.2 ms/step at B=512): rank_i = #{free j with
+        # priority_j < priority_i} via an (S, S) comparison count, then the
+        # rank-r free spawn is matched to the rank-r free slot with a one-hot
+        # contraction — all elementwise ops and reductions, no gathers.
         perm = jax.random.uniform(k_perm, (S,))
-        order = jnp.argsort(jnp.where(spawn_free, perm, perm + 2.0))
+        pri = jnp.where(spawn_free, perm, jnp.inf)
+        idx_s = jnp.arange(S)
+        smaller = (pri[None, :] < pri[:, None]) | (
+            (pri[None, :] == pri[:, None]) & (idx_s[None, :] < idx_s[:, None])
+        )  # strict total order: index breaks float ties
+        rank = jnp.sum((smaller & spawn_free[None, :]).astype(jnp.int32), axis=1)
+        rank = jnp.where(spawn_free, rank, S)                      # (S,)
         n_free_spawns = jnp.sum(spawn_free)
 
         # rank free slots; slot takes the rank-th free spawn if within budget
         slot_rank = jnp.cumsum(free_slot.astype(jnp.int32)) - 1
         will_spawn = free_slot & (slot_rank < jnp.minimum(budget, n_free_spawns))
-        spawn_idx = order[jnp.clip(slot_rank, 0, S - 1)]  # (N,)
+        match = (slot_rank[:, None] == rank[None, :]) & spawn_free[None, :]
+        # spawn-field reads as one-hot contractions with `match` (N, S) —
+        # int-exact in f32 for the id fields (values << 2^24), and cheaper
+        # than N scattered small-row gathers on TPU
+        matf = match.astype(jnp.float32)
+        pick = lambda tbl: matf @ tbl.astype(jnp.float32) if tbl.ndim > 1 \
+            else matf @ tbl.astype(jnp.float32)[:, None]
 
         # choose a route option at each spawn point
         rmax = scene.spawn_routes.shape[1]
         route_choice = jax.random.randint(k_route, (N,), 0, rmax)
-        route_choice = route_choice % jnp.maximum(scene.spawn_n_routes[spawn_idx], 1)
-        new_route = scene.spawn_routes[spawn_idx, route_choice]
-        new_s = scene.spawn_route_s[spawn_idx, route_choice]
+        n_routes_here = (matf @ scene.spawn_n_routes.astype(jnp.float32)[:, None])[:, 0]
+        route_choice = route_choice % jnp.maximum(n_routes_here.astype(jnp.int32), 1)
+        hot_r = (jnp.arange(rmax)[None, :] == route_choice[:, None]).astype(jnp.float32)
+        new_route = jnp.sum(pick(scene.spawn_routes) * hot_r, axis=1).astype(jnp.int32)
+        new_s = jnp.sum(pick(scene.spawn_route_s) * hot_r, axis=1)
+        new_spawn_xy = pick(scene.spawn_xy)                        # (N, 2)
+        new_spawn_heading = pick(scene.spawn_heading)[:, 0]        # (N,)
 
         new_lcf = _sample_lcf(cfg, k_lcf, (N,), params)
         new_uid = state.next_uid + slot_rank
@@ -166,8 +186,8 @@ def _respawn(scene: SceneData, cfg: EnvConfig, state: EnvState, params: EnvParam
 
         spacing_idx = jnp.floor(new_s / WAYPOINT_SPACING).astype(jnp.int32)
         return state.replace(
-            pos=sel(scene.spawn_xy[spawn_idx], state.pos),
-            heading=sel(scene.spawn_heading[spawn_idx], state.heading),
+            pos=sel(new_spawn_xy, state.pos),
+            heading=sel(new_spawn_heading, state.heading),
             speed=sel(jnp.zeros((N,)), state.speed),
             steering=sel(jnp.zeros((N,)), state.steering),
             yaw_rate=sel(jnp.zeros((N,)), state.yaw_rate),
@@ -177,7 +197,7 @@ def _respawn(scene: SceneData, cfg: EnvConfig, state: EnvState, params: EnvParam
             s=sel(new_s, state.s),
             spawn_s=sel(new_s, state.spawn_s),
             lateral=sel(jnp.zeros((N,)), state.lateral),
-            lane_heading=sel(scene.spawn_heading[spawn_idx], state.lane_heading),
+            lane_heading=sel(new_spawn_heading, state.lane_heading),
             alive=state.alive | will_spawn,
             uid=sel(new_uid, state.uid).astype(jnp.int32),
             next_uid=state.next_uid + jnp.sum(will_spawn),

@@ -17,6 +17,12 @@ import numpy as np
 #: uniform arc-length spacing (meters) of resampled route waypoints
 WAYPOINT_SPACING = 2.0
 
+#: localization window: segments inspected behind/ahead of the tracked
+#: waypoint each step (consumed by routing.locate_on_route and baked into
+#: SceneData.route_win at scene-compile time)
+WINDOW_BACK = 2
+WINDOW_SIZE = 8
+
 
 def resample_polyline(points: np.ndarray, spacing: float = WAYPOINT_SPACING) -> np.ndarray:
     """Resample a polyline (K,2) at uniform arc-length `spacing`.

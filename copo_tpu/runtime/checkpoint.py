@@ -25,6 +25,23 @@ def save_checkpoint(ckpt_dir: str, state, step: int):
     return path
 
 
+def _key_name(k) -> str:
+    """Name of one key-path entry, independent of its pytree-key flavour.
+
+    The stored tree (a serialized dict) flattens with DictKey entries while a
+    TrainState template flattens with GetAttrKey / SequenceKey entries — their
+    str() forms differ ("['iteration']" vs ".iteration"), so raw-string
+    comparison matches nothing. Compare by the underlying name instead."""
+    for attr in ("key", "name", "idx"):
+        if hasattr(k, attr):
+            return str(getattr(k, attr))
+    return str(k)
+
+
+def _norm_path(kp) -> tuple:
+    return tuple(_key_name(k) for k in kp)
+
+
 def restore_checkpoint(path: str, state_template):
     """Restore a TrainState saved by save_checkpoint (template gives pytree
     structure/shapes — use trainer.init_state()).
@@ -37,18 +54,25 @@ def restore_checkpoint(path: str, state_template):
     from jax.tree_util import tree_flatten_with_path, tree_unflatten
 
     stored = {
-        tuple(str(k) for k in kp): v
+        _norm_path(kp): v
         for kp, v in tree_flatten_with_path(_restore_tree(path))[0]
     }
     leaves, treedef = tree_flatten_with_path(state_template)
     out = []
+    n_restored = 0
     for kp, tmpl in leaves:
-        key = tuple(str(k) for k in kp)
-        v = stored.get(key)
+        v = stored.get(_norm_path(kp))
         if v is not None and tuple(v.shape) == tuple(tmpl.shape):
             out.append(jnp.asarray(v, dtype=tmpl.dtype))
+            n_restored += 1
         else:
             out.append(tmpl)
+    if n_restored == 0 and leaves:
+        raise ValueError(
+            f"restore_checkpoint({path}): 0/{len(leaves)} leaves matched the "
+            "template — checkpoint/state layout mismatch, refusing to resume "
+            "from an init template."
+        )
     return tree_unflatten(treedef, out)
 
 

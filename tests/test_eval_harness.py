@@ -78,6 +78,34 @@ def test_run_trial_writes_artifacts(tmp_path):
     assert "success" in cols and len(cols["success"]) == 3
 
 
+def test_run_trial_kill_and_resume(tmp_path):
+    """A trial interrupted after a checkpoint resumes at its true iteration
+    with optimizer/env state intact (Tune max_failures=1 semantics,
+    reference `train/train.py:104`)."""
+    scene, env_cfg = make_scene("intersection", num_agents=6, horizon=60)
+
+    def mk():
+        return IPPOTrainer(scene, env_cfg, TrainerConfig(
+            num_envs=2, rollout_T=10, sgd_minibatch_size=32, num_sgd_iter=1))
+
+    trial_dir = str(tmp_path / "trial_resume")
+    # "crash" after 2 iters (checkpoint at iter 2)
+    run_trial(mk(), 2, trial_dir, checkpoint_freq=2, verbose=False)
+    full = run_trial(mk(), 4, str(tmp_path / "trial_full"),
+                     checkpoint_freq=2, verbose=False)
+    # fresh process: new trainer resumes from trial_dir's latest ckpt
+    resumed = run_trial(mk(), 4, trial_dir, checkpoint_freq=2, verbose=False)
+    a = jax.tree_util.tree_leaves(full["state"].params)
+    b = jax.tree_util.tree_leaves(resumed["state"].params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-5, atol=2e-6)
+    assert int(resumed["state"].iteration) == 4
+    # progress.csv holds all 4 rows (2 pre-crash + 2 appended)
+    with open(os.path.join(trial_dir, "progress.csv")) as f:
+        assert len(f.readlines()) == 5
+
+
 def test_checkpoint_restore_resumes(tmp_path):
     from copo_tpu.runtime.checkpoint import (latest_checkpoint,
                                              restore_checkpoint,
