@@ -72,6 +72,15 @@ class EnvConfig:
     max_steering: float = 0.6981    # rad (40 deg)
     max_accel: float = 2.5          # m/s^2
     max_brake: float = 6.0          # m/s^2
+    # Tire-grip envelope: cornering speed is capped so lateral acceleration
+    # v^2 * tan(steer) / wheelbase stays under this bound (Bullet's tire
+    # friction does the same in MetaDrive — without it the kinematic model
+    # corners at 4g, the junction never forces a slow-down, and "yield before
+    # turning" can't emerge; reference vehicles average 14-17 km/h with max
+    # ~29 in `eval/demo_results/evaluate_results/copo_inter_0.csv`).
+    # 0 disables the cap.
+    lat_accel_max: float = 4.0      # m/s^2
+    grip_scrub_decel: float = 6.0   # m/s^2 rate of speed shed when over grip
     drag_decel: float = 0.4         # m/s^2 rolling/drag deceleration
     steering_smooth: float = 0.6    # low-pass factor toward commanded steering
     dt: float = 0.1                 # seconds per env step (MetaDrive 0.02 x 5)

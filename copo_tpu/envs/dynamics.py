@@ -44,6 +44,20 @@ def step_dynamics(cfg: EnvConfig, pos, heading, speed, steering, actions):
     )
     new_speed = jnp.clip(new_speed, -cfg.max_reverse_speed, cfg.max_speed)
 
+    # Tire-grip cornering cap (see EnvConfig.lat_accel_max): shed speed at a
+    # bounded scrub rate until v^2 |tan(delta)| / L <= a_lat_max.
+    if cfg.lat_accel_max > 0.0:
+        v_grip = jnp.sqrt(
+            cfg.lat_accel_max * cfg.wheelbase
+            / jnp.maximum(jnp.abs(jnp.tan(new_steering)), 1e-4)
+        )
+        over = new_speed > v_grip
+        new_speed = jnp.where(
+            over,
+            jnp.maximum(v_grip, new_speed - cfg.grip_scrub_decel * cfg.dt),
+            new_speed,
+        )
+
     # Kinematic bicycle: yaw rate = v/L * tan(delta), integrated midpoint.
     avg_speed = 0.5 * (speed + new_speed)
     yaw_rate = avg_speed / cfg.wheelbase * jnp.tan(new_steering)

@@ -63,6 +63,15 @@ class EnvState:
     t: jnp.ndarray            # () int32 env episode step
     key: jnp.ndarray          # PRNGKey
 
+    # Scene-episode outcome counters (reference `callbacks.py:52-67` computes
+    # success/crash/out/max_step over ALL agents that appeared in the
+    # 1000-step scene episode — horizon survivors count in the max_step
+    # bucket). Reset with the episode; flushed into StepInfo at done_all.
+    epi_spawned: jnp.ndarray  # () int32 agents spawned this scene episode
+    epi_arrive: jnp.ndarray   # () int32
+    epi_crash: jnp.ndarray    # () int32
+    epi_out: jnp.ndarray      # () int32
+
     @property
     def present(self):
         """Bodies that exist in the world (controlled or decaying wreck)."""
@@ -95,6 +104,17 @@ class StepInfo:
     episode_cost: jnp.ndarray   # (N,) float32 accumulated cost since spawn
     episode_nei_reward: jnp.ndarray  # (N,) float32 accumulated nei-mean reward
     route_completion: jnp.ndarray  # (N,) float32
+
+    # Scene-episode report, emitted once per env episode at done_all
+    # (reference per-scene-episode statistic, `callbacks.py:52-67`: rates
+    # over every agent that appeared in the episode; horizon survivors fall
+    # in the max_step bucket). All () per env instance; zero unless
+    # scene_done.
+    scene_done: jnp.ndarray      # () bool — this step ends the scene episode
+    scene_spawned: jnp.ndarray   # () int32 total agents this episode
+    scene_arrive: jnp.ndarray    # () int32
+    scene_crash: jnp.ndarray     # () int32
+    scene_out: jnp.ndarray       # () int32
 
 
 @struct.dataclass
@@ -201,6 +221,7 @@ def _respawn(scene: SceneData, cfg: EnvConfig, state: EnvState, params: EnvParam
             alive=state.alive | will_spawn,
             uid=sel(new_uid, state.uid).astype(jnp.int32),
             next_uid=state.next_uid + jnp.sum(will_spawn),
+            epi_spawned=state.epi_spawned + jnp.sum(will_spawn, dtype=jnp.int32),
             steps=sel(jnp.zeros((N,), jnp.int32), state.steps),
             ep_reward=sel(jnp.zeros((N,)), state.ep_reward),
             ep_nei_reward=sel(jnp.zeros((N,)), state.ep_nei_reward),
@@ -230,6 +251,8 @@ def _empty_state(cfg: EnvConfig, key) -> EnvState:
             ),
             comm_valid=jnp.zeros((N,), bool),
             t=jnp.int32(0), key=key,
+            epi_spawned=jnp.int32(0), epi_arrive=jnp.int32(0),
+            epi_crash=jnp.int32(0), epi_out=jnp.int32(0),
         )
 
 def observe(scene: SceneData, cfg: EnvConfig, state: EnvState):
@@ -246,9 +269,19 @@ def observe(scene: SceneData, cfg: EnvConfig, state: EnvState):
             present=state.present,
         )
 
-def engine_reset(scene: SceneData, cfg: EnvConfig, key, params: EnvParams):
+def engine_reset(scene: SceneData, cfg: EnvConfig, key, params: EnvParams,
+                 t_init=None):
+        """Reset one env. `t_init` (optional, () int32) starts the episode
+        clock mid-phase so a batch of envs hits the horizon at staggered
+        iterations (first episode is shorter; all later ones are full length).
+        Synchronized flushes are pathological for training statistics: every
+        horizon crossing would dump ~B*N episode results into one iteration
+        and every batch ~31 iterations later would be dominated by the
+        post-reset spawn wave."""
         k0, k1 = jax.random.split(key)
         state = _empty_state(cfg, k0)
+        if t_init is not None:
+            state = state.replace(t=jnp.asarray(t_init, jnp.int32))
         state = _respawn(scene, cfg, state, params, k1)
         return state, observe(scene, cfg, state)
 
@@ -418,6 +451,16 @@ def engine_step(scene: SceneData, cfg: EnvConfig, state: EnvState, actions,
             (s_new - state.spawn_s) / jnp.maximum(route_len - state.spawn_s, 1e-3), 0.0, 1.0
         )
 
+        # scene-episode outcome tally (mutually exclusive, priority
+        # arrive > crash > out; everything else done this episode — incl.
+        # horizon survivors — lands in the implicit max_step bucket)
+        cat_arrive = arrive
+        cat_crash = crash & done_i & ~arrive
+        cat_out = out_of_road & done_i & ~arrive & ~crash
+        epi_arrive = state.epi_arrive + jnp.sum(cat_arrive, dtype=jnp.int32)
+        epi_crash = state.epi_crash + jnp.sum(cat_crash, dtype=jnp.int32)
+        epi_out = state.epi_out + jnp.sum(cat_out, dtype=jnp.int32)
+
         stepped = state.replace(
             pos=pos, heading=heading, speed=speed, steering=steering, yaw_rate=yaw_rate,
             last_action=jnp.where(valid[:, None], drive, state.last_action),
@@ -430,6 +473,7 @@ def engine_step(scene: SceneData, cfg: EnvConfig, state: EnvState, actions,
             alive=alive1, dead_timer=dead_timer, in_contact=crash_body,
             steps=steps_new, ep_reward=ep_reward, ep_nei_reward=ep_nei_reward,
             ep_cost=ep_cost, t=t_new, key=key,
+            epi_arrive=epi_arrive, epi_crash=epi_crash, epi_out=epi_out,
         )
         stepped = _respawn(scene, cfg, stepped, params, k_step)
 
@@ -445,6 +489,13 @@ def engine_step(scene: SceneData, cfg: EnvConfig, state: EnvState, actions,
             episode_length=steps_new, episode_reward=ep_reward, episode_cost=ep_cost,
             episode_nei_reward=ep_nei_reward,
             route_completion=route_completion,
+            scene_done=done_all,
+            # pre-step counter: agents respawned by the post-step _respawn on
+            # a done_all step are wiped by the auto-reset and never existed
+            scene_spawned=jnp.where(done_all, state.epi_spawned, 0),
+            scene_arrive=jnp.where(done_all, epi_arrive, 0),
+            scene_crash=jnp.where(done_all, epi_crash, 0),
+            scene_out=jnp.where(done_all, epi_out, 0),
         )
 
         if auto_reset:
@@ -462,9 +513,23 @@ def engine_step(scene: SceneData, cfg: EnvConfig, state: EnvState, actions,
         )
 
 
-def vec_reset(scene: SceneData, cfg: EnvConfig, keys, params: EnvParams):
-    """Batched reset over B env instances (keys: (B, key))."""
-    return jax.vmap(lambda k: engine_reset(scene, cfg, k, params))(keys)
+def vec_reset(scene: SceneData, cfg: EnvConfig, keys, params: EnvParams,
+              t_init=None):
+    """Batched reset over B env instances (keys: (B, key)).
+
+    `t_init` ((B,) int32, optional) staggers the episode clocks — see
+    engine_reset. Trainers pass `stagger_t_init(B, horizon)`; eval keeps
+    all-zero clocks."""
+    if t_init is None:
+        return jax.vmap(lambda k: engine_reset(scene, cfg, k, params))(keys)
+    return jax.vmap(
+        lambda k, t0: engine_reset(scene, cfg, k, params, t0)
+    )(keys, t_init)
+
+
+def stagger_t_init(num_envs: int, horizon: int):
+    """Evenly phase-shifted episode clocks for a training env batch."""
+    return (jnp.arange(num_envs, dtype=jnp.int32) * horizon) // num_envs
 
 
 def vec_step(scene: SceneData, cfg: EnvConfig, states, actions, params: EnvParams):

@@ -1,15 +1,18 @@
 """On-device episode metrics mirroring the reference callbacks.
 
-Parity target: `MultiAgentDrivingCallbacks` (`torch_copo/utils/callbacks.py:
-14-153`): success/crash/out_of_road/max_step rates over agent episodes ending
-in the window, episode length/reward/cost stats, per-step velocity etc. The
-reference accumulates python dicts per episode; here everything is a masked
-reduction over the (T, B, N) trajectory — no host involvement.
+Parity target: `MultiAgentDrivingCallbacks` (`copo_code/copo/callbacks.py:
+11-112`, torch variant `torch_copo/utils/callbacks.py:14-153`). The headline
+success/crash/out/max_step rates are the reference's PER-SCENE-EPISODE
+statistic (`callbacks.py:52-67`): once per 1000-step scene episode, rates
+over EVERY agent that appeared in it — agents still driving at the horizon
+fall into the max_step bucket ("not (arrive or crash or out)"). The engine
+tallies these on device (`EnvState.epi_*` counters flushed into
+`StepInfo.scene_*` at done_all); here they reduce to per-iteration scalars,
+and the harness smooths them over the trailing 100 scene episodes exactly
+like RLlib's `metrics_num_episodes_for_smoothing`.
 
-Headline metric: success_rate = mean over *finished agent episodes* of
-arrive_dest (`callbacks.py:52-67` takes the per-scene-episode agent mean;
-with thousands of envs we pool all agent episodes in the window, which is the
-same statistic up to weighting by agents-per-episode).
+Per-agent means (length/reward/cost at individual agent dones) and per-step
+means (velocity etc.) ride along as secondary columns.
 """
 
 from __future__ import annotations
@@ -36,16 +39,37 @@ def rollout_metrics(traj) -> dict:
     def step_mean(x):
         return jnp.sum(jnp.where(valid, x, 0.0)) / n_step
 
+    # --- headline: per-scene-episode rates (reference callbacks.py:52-67) ---
+    sdone = info.scene_done                       # (T, B) bool
+    n_scene = jnp.sum(sdone)
+    spawned = jnp.maximum(info.scene_spawned, 1).astype(jnp.float32)
+
+    def scene_mean(counts):
+        """Mean over finished scene episodes of the per-episode rate
+        (equal weight per episode, like RLlib's 100-episode smoothing)."""
+        r = counts.astype(jnp.float32) / spawned
+        return _rate(jnp.sum(jnp.where(sdone, r, 0.0)), n_scene)
+
+    succ = scene_mean(info.scene_arrive)
+    crash = scene_mean(info.scene_crash)
+    out = scene_mean(info.scene_out)
+    max_step = jnp.where(
+        n_scene > 0, 1.0 - (succ + crash + out), jnp.nan
+    )
+
     return {
-        "success_rate": done_mean(info.arrive_dest),
-        "crash_rate": done_mean(info.crash),
-        "out_of_road_rate": done_mean(info.out_of_road),
-        "max_step_rate": done_mean(info.max_step),
+        "success_rate": succ,
+        "crash_rate": crash,
+        "out_of_road_rate": out,
+        "max_step_rate": max_step,
+        "episodes_this_iter": n_scene.astype(jnp.float32),
+        # secondary per-agent-episode means (at agent done)
         "episode_length": done_mean(info.episode_length.astype(jnp.float32)),
         "episode_reward": done_mean(info.episode_reward),
         "episode_cost": done_mean(info.episode_cost),
         "route_completion": done_mean(info.route_completion),
-        "episodes_this_iter": n_done.astype(jnp.float32),
+        "agent_episodes_this_iter": n_done.astype(jnp.float32),
+        # per-step means
         "velocity": step_mean(info.velocity),
         "step_reward": step_mean(info.step_reward),
         "num_neighbours": step_mean(info.num_neighbours.astype(jnp.float32)),

@@ -25,7 +25,7 @@ from flax import struct
 from copo_tpu.algos.gae import masked_gae
 from copo_tpu.algos.ppo import PPOLossConfig, masked_mean, ppo_loss, update_kl_coeff
 from copo_tpu.envs.config import EnvConfig, EnvParams
-from copo_tpu.envs.engine import vec_reset
+from copo_tpu.envs.engine import stagger_t_init, vec_reset
 from copo_tpu.envs.scene import SceneData
 from copo_tpu.models.mlp import init_model
 from copo_tpu.runtime.metrics import rollout_metrics
@@ -127,8 +127,12 @@ class IPPOTrainer:
         k_model, k_env, k_loop = jax.random.split(key, 3)
         env_params = self.default_env_params()
         env_keys = jax.random.split(k_env, self.cfg.num_envs)
+        # staggered episode clocks: without them every env flushes its scene
+        # episode in the same iteration (a ~B*N-episode metric dump) and the
+        # next batch is dominated by the synchronized post-reset spawn wave
         env_states, obs = jax.jit(vec_reset, static_argnums=(1,))(
-            self.scene, self.env_cfg, env_keys, env_params
+            self.scene, self.env_cfg, env_keys, env_params,
+            stagger_t_init(self.cfg.num_envs, self.env_cfg.horizon),
         )
         params = init_model(
             k_model, self.env_cfg.obs_dim, self.env_cfg.action_dim,

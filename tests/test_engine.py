@@ -272,3 +272,61 @@ def test_crash_done_training_vs_eval_semantics(inter):
         else:
             assert not bool(out.done[0])
             assert bool(state2.alive[0]) and int(state2.uid[0]) == int(state.uid[0])
+
+
+def test_scene_episode_statistic(inter):
+    """Scene-episode outcome tally (reference callbacks.py:52-67): at
+    done_all the engine reports rates over every agent that appeared in the
+    episode; horizon survivors land in the implicit max_step bucket."""
+    import dataclasses
+
+    scene, cfg = inter
+    c = dataclasses.replace(cfg, horizon=40, num_agents=8)
+    eng = DrivingEngine(scene, c)
+    params = EnvParams.default(c.num_agents)
+    state, _ = eng.reset(jax.random.PRNGKey(3), params)
+    assert int(state.epi_spawned) == 8  # initial spawn counted
+
+    n_scene = 0
+    ev = {"arrive": 0, "crash": 0, "out": 0}
+    key = jax.random.PRNGKey(4)
+    for t in range(80):  # two full episodes
+        key, k = jax.random.split(key)
+        act = jnp.stack(
+            [0.3 * jax.random.normal(k, (8,)), jnp.full((8,), 0.6)], axis=-1
+        )
+        state, out = eng.step(state, act, params)
+        i = out.info
+        ev["arrive"] += int(i.arrive_dest.sum())
+        ev["crash"] += int((i.crash & out.done & ~i.arrive_dest).sum())
+        ev["out"] += int(
+            (i.out_of_road & out.done & ~i.arrive_dest & ~i.crash).sum())
+        if bool(i.scene_done):
+            n_scene += 1
+            spawned = int(i.scene_spawned)
+            assert spawned >= 8
+            assert int(i.scene_arrive) == ev["arrive"]
+            assert int(i.scene_crash) == ev["crash"]
+            assert int(i.scene_out) == ev["out"]
+            assert ev["arrive"] + ev["crash"] + ev["out"] <= spawned
+            ev = {"arrive": 0, "crash": 0, "out": 0}
+            # counters reset with the episode
+            assert int(state.epi_arrive) == 0
+        else:
+            assert int(i.scene_spawned) == 0
+    assert n_scene == 2
+
+
+def test_staggered_reset_phases():
+    """stagger_t_init spreads env episode clocks so horizon flushes do not
+    synchronize across the batch."""
+    from copo_tpu.envs.engine import stagger_t_init, vec_reset
+
+    scene, cfg = make_scene("intersection", num_agents=4, horizon=100)
+    params = EnvParams.default(4)
+    keys = jax.random.split(jax.random.PRNGKey(0), 8)
+    t0 = stagger_t_init(8, 100)
+    states, _ = jax.jit(vec_reset, static_argnums=(1,))(
+        scene, cfg, keys, params, t0)
+    ts = np.asarray(states.t)
+    assert sorted(ts.tolist()) == [0, 12, 25, 37, 50, 62, 75, 87]
