@@ -21,6 +21,19 @@ from copo_tpu.envs import make_scene
 from copo_tpu.eval.evaluator import evaluate_policy, summarize
 from copo_tpu.eval.npz import load_policy_npz
 
+#: learned LCF distribution of the reference's shipped best CoPO policies
+#: (ported from `eval/get_policy_function.py:11-51` meta_svo_lookup_table,
+#: "Best" rows) — an LCF-conditioned npz policy needs the LCF slot appended
+#: at eval time with the distribution it was trained under
+#: (`get_policy_function.py:162-196`).
+REF_LCF_TABLE = {
+    "copo_inter": (0.36824979071031544, 0.08807231132921418),
+    "copo_round": (0.2914212175433245, 0.09590505765930911),
+    "copo_bottle": (0.20677767223433444, 0.09703644548068967),
+    "copo_parking": (0.21065708838011088, 0.09828158781716699),
+    "copo_tollgate": (0.5575323092877565, 0.07595817525083297),
+}
+
 
 def eval_trial(trial_dir, num_episodes, out_rows, out_dir):
     """Evaluate EVERY kept checkpoint of one trial (the reference walks all
@@ -80,14 +93,38 @@ if __name__ == "__main__":
     p.add_argument("--env", type=str, default="intersection")
     p.add_argument("--num-episodes", type=int, default=20)
     p.add_argument("--out", type=str, default="evaluate_results")
+    p.add_argument("--lcf-mean", type=float, default=0.0,
+                   help="LCF dist mean for LCF-conditioned npz not in the table")
+    p.add_argument("--lcf-std", type=float, default=0.1)
     args = p.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
     out_rows = []
     if args.npz:
+        from copo_tpu.envs.config import EnvParams
+
         params = load_policy_npz(args.npz)
+        in_dim = params["policy"][0]["w"].shape[0]
         scene, cfg = make_scene(args.env, crash_done=True)
-        rows = evaluate_policy(scene, cfg, params, num_episodes=args.num_episodes)
+        env_params = None
+        if in_dim == cfg.obs_dim + 1:
+            # LCF-conditioned policy (e.g. reference CoPO npz, 92-dim on
+            # intersection): rebuild the env with the LCF obs slot and sample
+            # per-agent LCF from the policy's learned distribution
+            # (`get_policy_function.py:162-196`; lookup table :11-51)
+            stem = os.path.basename(args.npz).rsplit(".", 1)[0]
+            mean, std = REF_LCF_TABLE.get(
+                stem, (args.lcf_mean, args.lcf_std))
+            scene, cfg = make_scene(args.env, crash_done=True, lcf_enabled=True)
+            env_params = EnvParams.default(cfg.num_agents).replace(
+                lcf_mean=mean, lcf_std=std)
+            print(f"LCF-conditioned npz ({in_dim}-dim): eval with "
+                  f"lcf_mean={mean:.4f} lcf_std={std:.4f}")
+        assert in_dim == cfg.obs_dim, (
+            f"npz expects {in_dim}-dim obs, env {args.env} provides {cfg.obs_dim}")
+        rows = evaluate_policy(scene, cfg, params,
+                               num_episodes=args.num_episodes,
+                               env_params=env_params)
         s = summarize(rows)
         s["trial"] = os.path.basename(args.npz)
         out_rows.append(s)

@@ -45,6 +45,18 @@ def test_reference_npz_loads_and_runs():
     rows = evaluate_policy(scene, cfg, p1, num_episodes=1)
     assert 0.0 <= rows[0]["success_rate"] <= 1.0
 
+    # LCF-conditioned CoPO npz (92-dim): env rebuilt with the LCF slot and
+    # the policy's learned distribution (get_policy_function.py:162-196) —
+    # r2 regression: this path crashed on a 91-dim obs (VERDICT weak #6)
+    from copo_tpu.envs.config import EnvParams
+    scene_l, cfg_l = make_scene("intersection", num_agents=8, horizon=100,
+                                lcf_enabled=True, crash_done=True)
+    assert cfg_l.obs_dim == 92
+    ep = EnvParams.default(cfg_l.num_agents).replace(
+        lcf_mean=0.368, lcf_std=0.088)
+    rows = evaluate_policy(scene_l, cfg_l, p3, num_episodes=1, env_params=ep)
+    assert 0.0 <= rows[0]["success_rate"] <= 1.0
+
 
 def test_evaluator_columns():
     scene, cfg = make_scene("intersection", num_agents=6, horizon=80)
