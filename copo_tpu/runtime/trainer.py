@@ -51,6 +51,13 @@ class TrainerConfig:
     shuffle: str = "once"
     loss: PPOLossConfig = PPOLossConfig()
     seed: int = 0
+    # One fused jit dispatch per iteration instead of three phase dispatches
+    # with device-fetch barriers. On the remote-attached TPU each dispatch +
+    # barrier costs a ~30 ms tunnel round trip — at the reference's small
+    # train batch (32x32) that overhead dominates the iteration. Fused mode
+    # loses the per-phase sample/learn/meta time split (RLlib timer parity),
+    # so profiling runs keep it off.
+    fused: bool = False
 
 
 @struct.dataclass
@@ -96,6 +103,7 @@ class IPPOTrainer:
             type(self).extra_update is not IPPOTrainer.extra_update
         )
         self._jit_extra = jax.jit(self.extra_update) if self._has_extra else None
+        self._jit_full = jax.jit(self._full_iter) if cfg.fused else None
 
     # ---- hooks for subclasses (CCPPO / CoPO) -----------------------------
     def cc_obs_fn(self) -> Callable:
@@ -248,12 +256,23 @@ class IPPOTrainer:
         }
         return new_state, sgd_stats
 
+    def _full_iter(self, scene, state: TrainState):
+        """All three phases as one traced program (cfg.fused)."""
+        state, traj, metrics = self._rollout_phase(scene, state)
+        state, sgd_stats = self._learn_phase(scene, state, traj)
+        extra = {}
+        if self._has_extra:
+            state, extra = self.extra_update(state, traj, sgd_stats)
+        return state, {**metrics, **sgd_stats, **extra}
+
     def train_iter(self, state: TrainState):
         """One training iteration (jit-cached). Returns (state, metrics).
 
         Phase boundaries are synced so metrics carry the reference's
-        sample/learn(/meta) wall-time split.
+        sample/learn(/meta) wall-time split (non-fused mode).
         """
+        if self._jit_full is not None:
+            return self._jit_full(self.scene, state)
         # Sync via a scalar device_get: on the remote-attached TPU backend
         # (axon) `block_until_ready` returns before execution finishes, so a
         # tiny fetch is the only reliable phase barrier (~1 ms round trip,
