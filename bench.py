@@ -24,6 +24,9 @@ import time
 
 import jax
 
+from copo_tpu.utils.cache import enable_compile_cache
+enable_compile_cache()
+
 BASELINE_ENV_STEPS_PER_S = 1_000_000.0
 
 

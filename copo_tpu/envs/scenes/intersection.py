@@ -2,19 +2,22 @@
 
 Reference: `MultiAgentIntersectionEnv` (metadrive 0.2.5, imported at
 `train_all_copo_dist.py:9`), 30 agents, obs dim 91 (SURVEY.md §2.2 — npz
-first-layer shapes), map_config exit_length=60 / lane_num=3 (three lanes per
-direction — junction conflict density depends on it: the 2-lane variant caps
-IPPO success near 50% where the published IPPO reaches ~72%). Geometry
-re-designed for static compilation: four arms, right-hand traffic; routes =
-entry straight + turn arc (or straight-through) + exit straight, resampled at
-uniform spacing.
+first-layer shapes), map_config exit_length=60. Geometry re-designed for
+static compilation: four arms, right-hand traffic; routes = entry straight +
+turn arc (or straight-through) + exit straight, resampled at uniform spacing.
 
-Layout (lane width w, road half-width 3w, junction half-size BOX > 3w so the
-outer-lane right-turn radius clears the vehicle's minimum turning radius):
-  a road along +x carries -x traffic at y in (0, 3w) and +x traffic in
-  (-3w, 0); analogously for the y-axis road. Innermost lane (offset w/2)
-  turns left or goes straight; middle lane goes straight; outermost lane
-  (5w/2) turns right or goes straight.
+`lane_num` selects 2 or 3 lanes per direction. r2 tried 3 lanes on the
+hypothesis that 2 lanes capped IPPO success near 50%, but its own runs
+contradicted that (3-lane seeds peaked at 50-51% vs 52-63% for 2-lane —
+VERDICT r2 weak #4); the default is re-decided empirically each round via
+`results/r3_diag` A/B runs under the current dynamics.
+
+Layout (lane width w, road half-width H = lane_num*w, junction half-size
+BOX > H so the outer-lane right-turn radius clears the vehicle's minimum
+turning radius): a road along +x carries -x traffic at y in (0, H) and +x
+traffic in (-H, 0); analogously for the y-axis road. Innermost lane (offset
+w/2) turns left or goes straight; outermost lane turns right or goes
+straight; a middle lane (3 lanes only) goes straight.
 """
 
 from __future__ import annotations
@@ -26,9 +29,8 @@ from copo_tpu.envs.config import EnvConfig
 from copo_tpu.envs.scene import SceneBuildSpec, compile_scene
 
 LANE_W = 3.5
-N_LANES = 3            # lanes per direction (MetaDrive MAIntersection lane_num=3)
-ROAD_HW = N_LANES * LANE_W   # road half-width
-BOX = 14.0             # junction half-size (corner radius BOX - ROAD_HW = 3.5 m)
+DEFAULT_N_LANES = 3    # per direction; see module docstring
+BOX = 14.0             # junction half-size
 ARM = 60.0
 
 
@@ -39,16 +41,22 @@ def _rot(points: np.ndarray, k: int) -> np.ndarray:
     return (np.asarray(points, np.float64) @ np.array([[c, s], [-s, c]]).T).astype(np.float32)
 
 
-def _east_arm_routes():
+def _east_arm_routes(n_lanes: int):
     """Routes entering from the east arm (heading -x); rotated for other arms.
 
     Returns list of (polyline, entry_lane_offset, tag)."""
     routes = []
-    lane_turns = (
-        (LANE_W / 2, ("straight", "left")),        # innermost
-        (3 * LANE_W / 2, ("straight",)),           # middle
-        (5 * LANE_W / 2, ("straight", "right")),   # outermost
-    )
+    if n_lanes == 3:
+        lane_turns = (
+            (LANE_W / 2, ("straight", "left")),        # innermost
+            (3 * LANE_W / 2, ("straight",)),           # middle
+            (5 * LANE_W / 2, ("straight", "right")),   # outermost
+        )
+    else:
+        lane_turns = (
+            (LANE_W / 2, ("straight", "left")),        # innermost
+            (3 * LANE_W / 2, ("straight", "right")),   # outermost
+        )
     for y0, turns in lane_turns:
         entry = geo.straight((BOX + ARM, y0), (BOX, y0))
         for tag in turns:
@@ -69,9 +77,10 @@ def _east_arm_routes():
     return routes
 
 
-def _walls():
-    """Outer road edges (y = +-2w along each arm), junction corner fillets,
-    and arm end caps."""
+def _walls(road_hw: float):
+    """Outer road edges along each arm, junction corner fillets, and arm end
+    caps."""
+    ROAD_HW = road_hw
     parts = [
         # walls are straight lines -> keep them single segments (bake cost
         # scales with segment count)
@@ -91,21 +100,23 @@ def _walls():
     return np.concatenate(walls, axis=0)
 
 
-def build_intersection(num_agents: int | None = None, **cfg_overrides):
+def build_intersection(num_agents: int | None = None,
+                       lane_num: int = DEFAULT_N_LANES, **cfg_overrides):
     """Compile the intersection scene. Returns (SceneData, EnvConfig)."""
     num_agents = 30 if num_agents is None else num_agents
+    road_hw = lane_num * LANE_W
 
     routes, half_widths = [], []
     lane_routes = {}  # (arm k, lane y0) -> route indices
     for k in range(4):
-        for poly, y0, tag in _east_arm_routes():
+        for poly, y0, tag in _east_arm_routes(lane_num):
             idx = len(routes)
             routes.append(_rot(poly, k))
             # left of travel = toward the road centerline (yellow line at
             # lateral y0); crossing it is out-of-road, MetaDrive
             # `on_yellow_continuous_line`. Right = own curb. Inside the
             # junction the corner-fillet walls clamp the corridor instead.
-            half_widths.append((y0, ROAD_HW - y0))
+            half_widths.append((y0, road_hw - y0))
             lane_routes.setdefault((k, y0), []).append(idx)
 
     # Spawn points: 5 longitudinal offsets per inbound lane; all routes of
@@ -119,7 +130,7 @@ def build_intersection(num_agents: int | None = None, **cfg_overrides):
         routes=routes,
         half_widths=half_widths,
         spawns=spawns,
-        walls=_walls(),
+        walls=_walls(road_hw),
         bbox=(-(BOX + ARM + 5), BOX + ARM + 5, -(BOX + ARM + 5), BOX + ARM + 5),
     )
     scene = compile_scene(spec)

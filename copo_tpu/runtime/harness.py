@@ -135,12 +135,16 @@ class TrialLogger:
 def run_trial(trainer, num_iters: int, trial_dir: str, *,
               checkpoint_freq: int = 10, keep_checkpoints: int = 5,
               log_every: int = 1, verbose: bool = True, state=None,
-              resume: bool = True) -> dict:
+              resume: bool = True, init_key=None) -> dict:
     """Train one trial to completion with logging + top-K checkpointing.
 
     With `resume` (default), a trial directory holding checkpoints continues
     from the latest one (the reference restarts crashed trials from their
     last checkpoint via Tune `max_failures=1`, `train/train.py:104`).
+
+    `init_key` seeds the fresh initial state when no checkpoint exists —
+    sweeps reuse ONE trainer instance across seeds (so the jitted iteration
+    compiles once) and vary only this key.
     """
     cfg_dict = dataclasses.asdict(trainer.cfg)
     env_dict = dataclasses.asdict(trainer.env_cfg)
@@ -158,7 +162,7 @@ def run_trial(trainer, num_iters: int, trial_dir: str, *,
     logger = TrialLogger(trial_dir, {"trainer": cfg_dict, "env": env_dict,
                                      "algo": type(trainer).__name__},
                          resume=start_it > 0)
-    state = trainer.init_state() if state is None else state
+    state = trainer.init_state(init_key) if state is None else state
     kept: list[tuple[float, str]] = []   # (score, path)
     env_steps = 0
     t0 = time.time()

@@ -15,6 +15,9 @@ import argparse
 import sys
 
 sys.path.insert(0, ".")
+from copo_tpu.utils.cache import enable_compile_cache
+enable_compile_cache()
+
 
 import jax.numpy as jnp
 

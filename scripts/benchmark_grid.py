@@ -21,6 +21,9 @@ import sys
 import time
 
 sys.path.insert(0, ".")
+from copo_tpu.utils.cache import enable_compile_cache
+enable_compile_cache()
+
 
 from copo_tpu.algos.ccppo import FusionConfig
 from copo_tpu.envs import make_scene
@@ -42,6 +45,7 @@ CL_STEPS = 2_000_000   # train_all_cl.py stop (2M), first 1.5M discarded
 
 
 def make_trainer(algo: str, env: str, seed: int):
+    global STEPS, CL_STEPS
     scene_kwargs = {}
     if algo == "copo":
         scene_kwargs["lcf_enabled"] = True
@@ -102,25 +106,40 @@ if __name__ == "__main__":
     p.add_argument("--start-seed", type=int, default=5000)
     p.add_argument("--root", type=str, default="results/r3_bench")
     p.add_argument("--table", action="store_true")
+    p.add_argument("--steps", type=int, default=STEPS)
+    p.add_argument("--cl-steps", type=int, default=CL_STEPS)
     args = p.parse_args()
+    STEPS, CL_STEPS = args.steps, args.cl_steps
 
     if args.table:
         print_table(args.root)
         sys.exit(0)
 
-    for algo in args.algos:
-        for env in args.envs:
-            for i in range(args.seeds):
-                seed = i * 100 + args.start_seed   # train/train.py:56 rule
+    import jax
+
+    # Seeds OUTERMOST: one seed of every (algo, env) cell lands before second
+    # seeds start, so an interrupted grid still has full breadth. Trainers
+    # are cached per (algo, env) and reused across seeds — the jitted
+    # iteration compiles once per cell (compiles cost minutes on the
+    # remote-attached backend; run_trial varies only init_key).
+    trainers: dict = {}
+    for i in range(args.seeds):
+        seed = i * 100 + args.start_seed       # train/train.py:56 rule
+        for algo in args.algos:
+            for env in args.envs:
                 trial = f"{algo}_{env}_seed{seed}"
                 tdir = os.path.join(args.root, algo, trial)
-                trainer, iters = make_trainer(algo, env, seed)
+                if (algo, env) not in trainers:
+                    trainers[(algo, env)] = make_trainer(algo, env,
+                                                         args.start_seed)
+                trainer, iters = trainers[(algo, env)]
                 if trial_done(tdir, iters):
-                    print(f"=== {trial}: done, skipping")
+                    print(f"=== {trial}: done, skipping", flush=True)
                     continue
                 t0 = time.time()
                 out = run_trial(trainer, iters, tdir, checkpoint_freq=200,
-                                keep_checkpoints=3, verbose=False)
+                                keep_checkpoints=3, verbose=False,
+                                init_key=jax.random.PRNGKey(seed))
                 m = out["metrics"]
                 print(f"=== {trial}: best={out['best_success']:.3f} "
                       f"final succ={m['success']:.3f} crash={m['crash']:.3f} "

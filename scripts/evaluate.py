@@ -16,6 +16,9 @@ import os
 import sys
 
 sys.path.insert(0, ".")
+from copo_tpu.utils.cache import enable_compile_cache
+enable_compile_cache()
+
 
 from copo_tpu.envs import make_scene
 from copo_tpu.eval.evaluator import evaluate_policy, summarize

@@ -12,7 +12,10 @@ from __future__ import annotations
 import argparse
 import sys
 
-sys.path.insert(0, ".")  # repo root
+sys.path.insert(0, ".")
+from copo_tpu.utils.cache import enable_compile_cache
+enable_compile_cache()
+  # repo root
 
 from copo_tpu.algos.ccppo import FusionConfig
 from copo_tpu.envs import make_scene

@@ -8,6 +8,9 @@ import argparse
 import sys
 
 sys.path.insert(0, ".")
+from copo_tpu.utils.cache import enable_compile_cache
+enable_compile_cache()
+
 
 from copo_tpu.envs import make_scene
 from copo_tpu.runtime.copo import CoPOConfig, CoPOTrainer
