@@ -46,6 +46,15 @@ class EnvConfig:
     lidar_num_lasers: int = 72
     lidar_distance: float = 40.0
     lidar_num_others: int = 0       # extra nearest-K vehicle features (0 in scenes used)
+    # MetaDrive's 72-beam vehicle lidar senses only OTHER VEHICLES/objects;
+    # road boundaries are sensed through the ego boundary-distance dims (and
+    # the separate side detectors, absent in the MA configs). Mixing static
+    # walls into the lidar makes every wall read as stationary traffic —
+    # cross-eval of the reference's shipped ippo_inter.npz on this env goes
+    # from 0% success (paralyzed at 1.6 km/h, braking at phantom traffic) to
+    # driving at the reference's own 17 km/h average once the statics are
+    # removed. Kept as a flag for the tollgate/bottleneck detector extras.
+    lidar_see_static: bool = False
 
     # --- reward (MetaDrive 0.2.5 reward_function semantics: dense progress
     #     with lane-keeping lateral factor + speed term; terminal events

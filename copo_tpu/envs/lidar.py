@@ -23,10 +23,15 @@ from copo_tpu.envs.scene import SceneData
 
 
 def beam_angles(cfg: EnvConfig, heading):
-    """Absolute beam angles (..., L) for each agent: heading + k/L * 2pi."""
+    """Absolute beam angles (..., L) for each agent: heading - k/L * 2pi.
+
+    Beam order is CLOCKWISE from the heading (beam 0 dead ahead, beam 1 to
+    the right) — the ordering under which the reference's shipped npz
+    policies evade correctly on this env (mirrored order halves their
+    cross-eval success: they dodge INTO the traffic they see)."""
     L = cfg.lidar_num_lasers
     rel = 2.0 * jnp.pi * jnp.arange(L, dtype=jnp.float32) / L
-    return heading[..., None] + rel
+    return heading[..., None] - rel
 
 
 def _field_rows(scene: SceneData, pos):
@@ -206,8 +211,16 @@ def vehicle_lidar(cfg: EnvConfig, pos, heading, present):
 
 
 def lidar_scan(scene: SceneData, cfg: EnvConfig, pos, heading, present):
-    """Full normalized lidar observation block (N, L) in [0, 1]; 1 = clear."""
-    d_static = static_lidar(scene, cfg, pos, heading)
-    d_vehicle = vehicle_lidar(cfg, pos, heading, present)
-    d = jnp.minimum(d_static, d_vehicle)
+    """Full normalized lidar observation block (N, L) in [0, 1]; 1 = clear.
+
+    Vehicles-only by default (`cfg.lidar_see_static`): MetaDrive's vehicle
+    lidar raycasts against dynamic bodies, not the road geometry — boundary
+    awareness comes from the ego-state dims. See EnvConfig.lidar_see_static.
+    """
+    d = vehicle_lidar(cfg, pos, heading, present)
+    if cfg.lidar_see_static:
+        # the baked-field ring samples counterclockwise; vehicle beams are
+        # clockwise (beam_angles) — reorder: cw[k] = ccw[(L - k) % L]
+        s = static_lidar(scene, cfg, pos, heading)
+        d = jnp.minimum(jnp.roll(jnp.flip(s, axis=-1), 1, axis=-1), d)
     return jnp.clip(d / cfg.lidar_distance, 0.0, 1.0)

@@ -9,16 +9,17 @@ extras), 156 (Tollgate, +65 extras), +1 LCF slot when the CoPO wrapper is on
 Layout (documented deviation: MetaDrive's navi checkpoints are road-block
 boundaries; ours are fixed +20 m / +40 m arc-length lookaheads on the route —
 same information role, simpler static-shape math):
-  [0]   left drivable-edge distance, / road width
-  [1]   right drivable-edge distance, / road width
-  [2]   heading error vs lane direction, /(pi/2), mapped to [0,1]
-  [3]   speed / max_speed
+  [0]   left drivable-edge distance / ((lane_num+1)*lane_width)
+  [1]   right drivable-edge distance / ((lane_num+1)*lane_width)
+  [2]   heading diff vs lane right-normal: (1 - sin(err))/2, 0.5 = aligned
+  [3]   (speed km/h + 1) / (max km/h + 1)
   [4]   steering / max_steering, mapped to [0,1]
   [5:7] last action, mapped to [0,1]
-  [6+1] yaw rate /2 rad/s, mapped to [0,1]
-  [8]   signed lateral offset / road width, mapped to [0,1]
-  [9:19]  2 checkpoints x [fwd/50, lat/50, heading diff/pi, curvature/0.2,
-          route completion], each mapped to [0,1]
+  [6+1] |yaw rate| rad/s, clipped to [0,1]
+  [8]   (1 + 2*lateral/lane_width)/2: lane-center offset, left-positive
+  [9:19]  2 checkpoints x [fwd proj, side proj (right-pos), bend radius/100,
+          clockwise flag, bend angle] — MetaDrive get_navi_info schema;
+          projections saturate in norm at 50 m then map (x/50+1)/2
   [19:19+L] lidar distances / range (1 = clear)
   [...obs_extra_dim] scene-specific block: zeros, or (obs_extra_dim-1)
           static-detector beams + 1 in-zone flag when obs_extra_kind="detector"
@@ -48,8 +49,23 @@ def _to01(x):
     return 0.5 * (jnp.clip(x, -1.0, 1.0) + 1.0)
 
 
+#: checkpoint projections saturate at this distance (MetaDrive NAVI_POINT_DIST)
+NAVI_POINT_DIST = 50.0
+
+
 def navi_block(scene: SceneData, cfg: EnvConfig, pos, heading, route_idx, s):
-    """Navigation features (N, 10): two route checkpoints in ego frame."""
+    """Navigation features (N, 10): two route checkpoints, MetaDrive encoding.
+
+    Per checkpoint: [fwd projection, side projection (right-positive),
+    bend radius, clockwise flag, bend angle] — the 0.2.5 Navigation
+    `get_navi_info` schema. The projection vector saturates in NORM at 50 m
+    (direction preserved), then each component maps (x/50+1)/2. Checkpoints
+    are +20/+40 m route lookaheads (documented deviation: MetaDrive uses
+    block-boundary nodes; fixed lookaheads carry the same lane-following/turn
+    information with static shapes). Chirality (right-positive side, clockwise
+    flag) picked by cross-evaluating the reference's shipped npz policies —
+    the combination under which they drive best.
+    """
     route_len = scene.route_len[route_idx]
     feats = []
     cos_h, sin_h = jnp.cos(heading), jnp.sin(heading)
@@ -58,14 +74,18 @@ def navi_block(scene: SceneData, cfg: EnvConfig, pos, heading, route_idx, s):
         ck_pos, ck_heading, curv = route_point_at(scene, route_idx, s_ck)
         rel = ck_pos - pos
         fwd = rel[..., 0] * cos_h + rel[..., 1] * sin_h
-        lat = -rel[..., 0] * sin_h + rel[..., 1] * cos_h
-        dh = wrap_angle(ck_heading - heading)
+        left = -rel[..., 0] * sin_h + rel[..., 1] * cos_h
+        nrm = jnp.sqrt(jnp.maximum(fwd * fwd + left * left, 1e-9))
+        sat = jnp.where(nrm > NAVI_POINT_DIST, NAVI_POINT_DIST / nrm, 1.0)
+        radius = jnp.where(
+            jnp.abs(curv) > 1e-3, 1.0 / jnp.maximum(jnp.abs(curv), 1e-3), 0.0
+        )
         feats += [
-            _to01(fwd / 50.0),
-            _to01(lat / 50.0),
-            _to01(dh / jnp.pi),
-            _to01(curv / 0.2),
-            jnp.clip(s_ck / jnp.maximum(route_len, 1e-3), 0.0, 1.0),
+            _to01(fwd * sat / NAVI_POINT_DIST),
+            _to01(-left * sat / NAVI_POINT_DIST),       # right-positive
+            jnp.clip(radius / 100.0, 0.0, 1.0),
+            _to01(-jnp.sign(curv)),                     # 1 = clockwise turn
+            jnp.clip(jnp.abs(curv) * 30.0 / jnp.pi, 0.0, 1.0),
         ]
     return jnp.stack(feats, axis=-1)
 
@@ -197,18 +217,28 @@ def build_obs(scene: SceneData, cfg: EnvConfig, *, pos, heading, speed, steering
     right_w = scene.route_right_width[route_idx, waypoint_idx]
     width = jnp.maximum(left_w + right_w, 1e-3)
 
+    # Ego block, MetaDrive 0.2.5 `StateObservation.vehicle_state` encodings:
+    # boundary distances / ((lane_num+1)*lane_width); heading_diff encoded
+    # against the lane's RIGHT normal (0.5 = aligned, <0.5 = pointing left);
+    # speed as (km/h + 1)/(max + 1); yaw rate as UNSIGNED rad/s clipped to
+    # [0, 1] (their arccos form); lateral vs the LANE center scaled by
+    # 2/lane_width. Sign chirality validated by cross-evaluating the shipped
+    # reference npz policies on this env (they lane-keep only under this
+    # combination; every deviation leaves them paralyzed or wall-pinned).
     heading_err = wrap_angle(heading - lane_heading)
+    speed_kmh = jnp.abs(speed) * 3.6
+    total_w = width + cfg.lane_width
     ego = jnp.stack(
         [
-            jnp.clip((left_w - lateral) / width, 0.0, 1.0),
-            jnp.clip((right_w + lateral) / width, 0.0, 1.0),
-            _to01(heading_err / (0.5 * jnp.pi)),
-            jnp.clip(speed / cfg.max_speed, 0.0, 1.0),
+            jnp.clip((left_w - lateral) / total_w, 0.0, 1.0),
+            jnp.clip((right_w + lateral) / total_w, 0.0, 1.0),
+            _to01(-jnp.sin(heading_err)),
+            jnp.clip((speed_kmh + 1.0) / (cfg.max_speed * 3.6 + 1.0), 0.0, 1.0),
             _to01(steering / cfg.max_steering),
             _to01(last_action[..., 0]),
             _to01(last_action[..., 1]),
-            _to01(yaw_rate / 2.0),
-            _to01(lateral / width),
+            jnp.clip(jnp.abs(yaw_rate), 0.0, 1.0),
+            _to01(2.0 * lateral / cfg.lane_width),
         ],
         axis=-1,
     )
