@@ -29,6 +29,16 @@ class EnvConfig:
     horizon: int = 1000             # env episode length (steps)
     max_step_per_agent: int = 1000  # per-agent step cap
     delay_done: int = 25            # steps a terminated body stays as obstacle
+    # MetaDrive MA horizon semantics: at `horizon` the spawn manager stops
+    # respawning but the episode CONTINUES until every surviving agent
+    # reaches a terminal state (the reference's training stats sum
+    # success+crash+out to ~1.0 with max_step == 0.000 — shipped CoPO trial
+    # progress.csv — impossible under a hard cut, which dumps ~18% of agents
+    # into a max_step bucket mid-route). With `horizon_grace` True, done_all
+    # fires once no agent is alive after the horizon (bounded by
+    # horizon + max_step_per_agent via the per-agent cap). False restores
+    # the hard cut (used by tests that need exact episode lengths).
+    horizon_grace: bool = True
 
     # --- termination ---
     # MetaDrive's multi-agent default terminates an agent on crash

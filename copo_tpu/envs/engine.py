@@ -150,6 +150,10 @@ def _respawn(scene: SceneData, cfg: EnvConfig, state: EnvState, params: EnvParam
         free_slot = (~state.alive) & (state.dead_timer <= 0)
         active = jnp.sum(state.alive)
         budget = jnp.clip(params.target_num_agents - active, 0, N)
+        if cfg.horizon_grace:
+            # the spawn manager stops respawning once the episode clock hits
+            # the horizon; survivors drain out (EnvConfig.horizon_grace)
+            budget = jnp.where(state.t < cfg.horizon, budget, 0)
 
         # spawn occupancy: any present body within clear radius
         d2 = jnp.sum((scene.spawn_xy[:, None, :] - state.pos[None, :, :]) ** 2, axis=-1)
@@ -376,7 +380,6 @@ def engine_step(scene: SceneData, cfg: EnvConfig, state: EnvState, actions,
         max_step = alive0 & (steps_new >= cfg.max_step_per_agent)
         t_new = state.t + 1
         horizon_end = t_new >= cfg.horizon
-        done_all = jnp.asarray(horizon_end)
 
         # --- reward (MetaDrive 0.2.5 reward_function semantics: dense
         #     progress * lateral-factor + speed term each step; on a terminal
@@ -434,12 +437,21 @@ def engine_step(scene: SceneData, cfg: EnvConfig, state: EnvState, actions,
         reward = native if cfg.return_native_reward or not cfg.lcf_enabled else coordinated
 
         # --- termination bookkeeping ---
-        done_i = arrive | max_step | (done_all & alive0)
+        # horizon semantics (MetaDrive MA, see EnvConfig.horizon_grace):
+        # grace mode ends the scene episode only when the post-horizon field
+        # has drained; hard mode force-terminates everyone at the horizon.
+        done_i = arrive | max_step
+        if not cfg.horizon_grace:
+            done_i |= jnp.asarray(horizon_end) & alive0
         if cfg.crash_done:
             done_i |= crash
         if cfg.out_of_road_done:
             done_i |= out_of_road
         alive1 = alive0 & ~done_i
+        if cfg.horizon_grace:
+            done_all = jnp.asarray(horizon_end) & (jnp.sum(alive1) == 0)
+        else:
+            done_all = jnp.asarray(horizon_end)
         # wrecks persist for delay_done steps; arrivals are removed immediately
         new_wreck = done_i & ~arrive
         dead_timer = jnp.where(new_wreck, cfg.delay_done, jnp.maximum(state.dead_timer - 1, 0))

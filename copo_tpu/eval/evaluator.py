@@ -64,7 +64,11 @@ def _episode(scene: SceneData, cfg: EnvConfig, policy_fn, policy_params,
         }
         return (state, out.obs), rec
 
-    keys = jax.random.split(k_run, cfg.horizon)
+    # Under horizon_grace (MetaDrive MA semantics) the scene keeps running
+    # after the horizon until the field drains — scan long enough to count
+    # every spawned agent's terminal state (bounded by the per-agent cap).
+    T = cfg.horizon + (cfg.max_step_per_agent if cfg.horizon_grace else 0)
+    keys = jax.random.split(k_run, T)
     (state, _), rec = jax.lax.scan(step_fn, (state, obs), keys)
     return {
         "total_agents": state.next_uid,

@@ -114,7 +114,9 @@ def test_respawn_assigns_fresh_uids(inter, shared):
 
 
 def test_horizon_autoreset():
-    scene, cfg = make_scene("intersection", num_agents=4, horizon=10)
+    # hard-cut mode: done_all exactly at the horizon
+    scene, cfg = make_scene("intersection", num_agents=4, horizon=10,
+                            horizon_grace=False)
     eng = DrivingEngine(scene, cfg)
     params = EnvParams.default(cfg.num_agents)
     state, _ = eng.reset(jax.random.PRNGKey(4), params)
@@ -281,7 +283,8 @@ def test_scene_episode_statistic(inter):
     import dataclasses
 
     scene, cfg = inter
-    c = dataclasses.replace(cfg, horizon=40, num_agents=8)
+    c = dataclasses.replace(cfg, horizon=40, num_agents=8,
+                            horizon_grace=False)
     eng = DrivingEngine(scene, c)
     params = EnvParams.default(c.num_agents)
     state, _ = eng.reset(jax.random.PRNGKey(3), params)
@@ -315,6 +318,33 @@ def test_scene_episode_statistic(inter):
         else:
             assert int(i.scene_spawned) == 0
     assert n_scene == 2
+
+
+def test_horizon_grace_drain():
+    """MetaDrive MA horizon semantics (EnvConfig.horizon_grace): respawn
+    stops at the horizon, survivors keep driving, and done_all fires only
+    once the field has drained — so no agent lands in a max_step bucket from
+    the episode cut (the reference's training stats show max_step == 0)."""
+    scene, cfg = make_scene("intersection", num_agents=4, horizon=10)
+    assert cfg.horizon_grace
+    eng = DrivingEngine(scene, cfg)
+    params = EnvParams.default(cfg.num_agents)
+    state, _ = eng.reset(jax.random.PRNGKey(4), params)
+    # zero-action agents never terminate on their own: episode must continue
+    # past the horizon (no done_all), with respawn disabled
+    uid_at_h = None
+    for t in range(30):
+        state, out = eng.step(state, jnp.zeros((cfg.num_agents, 2)), params)
+        if t >= 10:
+            assert not bool(out.done_all)
+            assert int(state.next_uid) == uid_at_h  # no post-horizon respawn
+        elif t == 9:
+            uid_at_h = int(state.next_uid)
+    # force-terminate the survivors (off-road) -> done_all fires
+    state = state.replace(pos=state.pos + 1000.0)
+    state, out = eng.step(state, jnp.zeros((cfg.num_agents, 2)), params)
+    assert bool(out.done_all)
+    assert int(state.t) == 0  # auto-reset occurred
 
 
 def test_staggered_reset_phases():
