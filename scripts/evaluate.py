@@ -38,7 +38,7 @@ REF_LCF_TABLE = {
 }
 
 
-def eval_trial(trial_dir, num_episodes, out_rows, out_dir):
+def eval_trial(trial_dir, num_episodes, out_rows, out_dir, export_npz=False):
     """Evaluate EVERY kept checkpoint of one trial (the reference walks all
     checkpoints per trial, `eval.py:66-139`), writing one per-episode row per
     checkpoint to `<out_dir>/<trial>.csv` and a per-trial summary (the best
@@ -70,12 +70,24 @@ def eval_trial(trial_dir, num_episodes, out_rows, out_dir):
         print(f"  no checkpoint in {trial_dir}")
         return
 
+    os.makedirs(out_dir, exist_ok=True)
     trial = os.path.basename(trial_dir)
     ep_rows, summaries = [], []
     for ckpt in ckpts:
         params = restore_params(ckpt)
+        env_params = None
+        if lcf and "lcf" in params:
+            # LCF-conditioned policy: evaluate under its LEARNED distribution
+            # (the reference recovers it from progress.csv / a lookup table,
+            # `get_policy_function_from_checkpoint.py:53-63`; ours lives in
+            # the checkpoint itself)
+            from copo_tpu.envs.config import EnvParams
+            from copo_tpu.models.mlp import lcf_mean, lcf_std
+            env_params = EnvParams.default(cfg.num_agents).replace(
+                lcf_mean=lcf_mean(params), lcf_std=lcf_std(params))
         rows = evaluate_policy(scene, cfg, params,
-                               num_episodes=num_episodes)
+                               num_episodes=num_episodes,
+                               env_params=env_params)
         for r in rows:
             ep_rows.append({"checkpoint": os.path.basename(ckpt), **r})
         s = summarize(rows)
@@ -86,7 +98,16 @@ def eval_trial(trial_dir, num_episodes, out_rows, out_dir):
         w = csv.DictWriter(f, fieldnames=list(ep_rows[0]))
         w.writeheader()
         w.writerows(ep_rows)
-    out_rows.append(max(summaries, key=lambda s: s["success_rate"]))
+    best = max(summaries, key=lambda s: s["success_rate"])
+    if export_npz:
+        # policy-only npz of the best checkpoint, reference layout (item 28
+        # shipped-artifact equivalent; `best_checkpoints/*.npz`)
+        from copo_tpu.eval.npz import export_policy_npz
+        params = restore_params(os.path.join(ckpt_root, best["checkpoint"]))
+        npz_path = os.path.join(out_dir, f"{trial}_best.npz")
+        export_policy_npz(params, npz_path)
+        print(f"  exported {npz_path}")
+    out_rows.append(best)
 
 
 if __name__ == "__main__":
@@ -99,6 +120,8 @@ if __name__ == "__main__":
     p.add_argument("--lcf-mean", type=float, default=0.0,
                    help="LCF dist mean for LCF-conditioned npz not in the table")
     p.add_argument("--lcf-std", type=float, default=0.1)
+    p.add_argument("--export-npz", action="store_true",
+                   help="also export each trial's best policy as npz")
     args = p.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
@@ -138,7 +161,8 @@ if __name__ == "__main__":
             if os.path.isdir(tdir) and os.path.exists(
                 os.path.join(tdir, "params.json")
             ):
-                eval_trial(tdir, args.num_episodes, out_rows, args.out)
+                eval_trial(tdir, args.num_episodes, out_rows, args.out,
+                           export_npz=args.export_npz)
     if out_rows:
         path = os.path.join(args.out, "evaluate_results.csv")
         with open(path, "w", newline="") as f:
