@@ -109,10 +109,15 @@ def episode_result(raw) -> dict:
     vel = np.asarray(raw["velocity"])
 
     # per-300-step traffic-efficiency rates: event counts per window,
-    # averaged over the episode's windows (recoder.py:177-349 equivalent)
-    T = done.shape[0]
-    win = min(T, EFFICIENCY_WINDOW)
-    n_win = T // win
+    # averaged over the episode's windows (recoder.py:177-349 equivalent).
+    # The scan runs past the horizon so the grace-mode drain is recorded
+    # (evaluator._episode); windows cover only the episode's ACTIVE extent,
+    # not the empty padding after the field drained.
+    active_steps = np.asarray(raw["valid"]).any(axis=-1).reshape(-1)
+    T_eff = int(active_steps.nonzero()[0].max()) + 1 if active_steps.any() \
+        else done.shape[0]
+    win = min(T_eff, EFFICIENCY_WINDOW)
+    n_win = max(T_eff // win, 1)
     cut = n_win * win
 
     def per_window(k):
