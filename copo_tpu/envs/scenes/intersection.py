@@ -8,9 +8,11 @@ turn arc (or straight-through) + exit straight, resampled at uniform spacing.
 
 `lane_num` selects 2 or 3 lanes per direction. r2 tried 3 lanes on the
 hypothesis that 2 lanes capped IPPO success near 50%, but its own runs
-contradicted that (3-lane seeds peaked at 50-51% vs 52-63% for 2-lane —
-VERDICT r2 weak #4); the default is re-decided empirically each round via
-`results/r3_diag` A/B runs under the current dynamics.
+contradicted that (VERDICT r2 weak #4). Re-run in r3 under the fidelity-
+fixed env (vehicles-only lidar, horizon grace): IPPO 1M-step best smoothed
+success 48.2% (2-lane) vs 46.3% (3-lane), one seed each — statistically
+indistinguishable, so lane count is not the binding quality factor and the
+3-lane default stands (artifacts: results/r3_diag vs r3_bench/ippo).
 
 Layout (lane width w, road half-width H = lane_num*w, junction half-size
 BOX > H so the outer-lane right-turn radius clears the vehicle's minimum
