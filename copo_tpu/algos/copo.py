@@ -40,12 +40,16 @@ def coordinated_adv(lcf, adv, nei_adv):
 
 
 def meta_gradient(params, target_params, batch, clip_param, raw_adv_mean,
-                  raw_adv_std, key):
+                  raw_adv_std, key, use_global_value: bool = True):
     """Gradient of the CoPO bi-level objective wrt the LCF parameters.
 
     batch: flat minibatch with obs, actions, logp_old, global_advantages
-    (standardized), advantages (raw native), nei_advantage (raw), valid.
-    Returns (lcf_grad (2,), stats).
+    (standardized), normalized_ego_advantages, advantages (raw native),
+    nei_advantage (raw), valid. Returns (lcf_grad (2,), stats).
+
+    `use_global_value` picks L1's advantage stream: the standardized global
+    advantage (CoPO default, `train_all_copo_dist.py:49`) or the
+    standardized ego advantage (published ablation axis, `grad.py:43-46`).
     """
     mask = batch["valid"].astype(jnp.float32)
 
@@ -55,7 +59,8 @@ def meta_gradient(params, target_params, batch, clip_param, raw_adv_mean,
         mean, log_std = policy_logits(p, batch["obs"])
         logp = DiagGaussian.logp(mean, log_std, batch["actions"])
         ratio = jnp.exp(logp - batch["logp_old"])
-        adv = batch["global_advantages"]
+        adv = batch["global_advantages"] if use_global_value \
+            else batch["normalized_ego_advantages"]
         surr = jnp.minimum(
             adv * ratio, adv * jnp.clip(ratio, 1.0 - clip_param, 1.0 + clip_param)
         )

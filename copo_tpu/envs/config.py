@@ -125,6 +125,13 @@ class EnvConfig:
     zone_speed_limit: float = 0.0
     overspeed_penalty: float = 0.0
 
+    # --- scene identity (replay metadata, set by `make_scene`: lets the
+    #     eval driver rebuild the EXACT trained env from params.json instead
+    #     of name-sniffing the trial directory — the reference's eval reads
+    #     the trial's params.json the same way, `eval.py:66-139`) ---
+    scene_name: str = ""
+    scene_kwargs: tuple = ()    # builder kwargs as sorted (key, value) pairs
+
     # --- agent-to-agent communication channel (LCFEnv `communication` config,
     #     env_wrappers.py:44,91-121,363-376; off by default in the reference) ---
     comm_method: str = "none"       # "none" | "direct"

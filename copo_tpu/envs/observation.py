@@ -18,8 +18,10 @@ same information role, simpler static-shape math):
   [6+1] |yaw rate| rad/s, clipped to [0,1]
   [8]   (1 + 2*lateral/lane_width)/2: lane-center offset, left-positive
   [9:19]  2 checkpoints x [fwd proj, side proj (right-pos), bend radius/100,
-          clockwise flag, bend angle] — MetaDrive get_navi_info schema;
-          projections saturate in norm at 50 m then map (x/50+1)/2
+          clockwise flag, bend angle (0.5 = straight)] — MetaDrive
+          get_navi_info schema; projections saturate in norm at 50 m then
+          map (x/50+1)/2; bend angle maps (x+1)/2 like MetaDrive's sweep
+          angle so straights read 0.5
   [19:19+L] lidar distances / range (1 = clear)
   [...obs_extra_dim] scene-specific block: zeros, or (obs_extra_dim-1)
           static-detector beams + 1 in-zone flag when obs_extra_kind="detector"
@@ -85,7 +87,10 @@ def navi_block(scene: SceneData, cfg: EnvConfig, pos, heading, route_idx, s):
             _to01(-left * sat / NAVI_POINT_DIST),       # right-positive
             jnp.clip(radius / 100.0, 0.0, 1.0),
             _to01(-jnp.sign(curv)),                     # 1 = clockwise turn
-            jnp.clip(jnp.abs(curv) * 30.0 / jnp.pi, 0.0, 1.0),
+            # bend-angle magnitude through the (x+1)/2 map: MetaDrive 0.2.5
+            # encodes the block sweep angle as clip((deg/angle_max+1)/2), so
+            # straight lanes read 0.5 (not 0) and bends rise toward 1
+            _to01(jnp.clip(jnp.abs(curv) * 30.0 / jnp.pi, 0.0, 1.0)),
         ]
     return jnp.stack(feats, axis=-1)
 

@@ -32,7 +32,12 @@ SCENE_BUILDERS = {
 
 @functools.lru_cache(maxsize=None)
 def _cached(name: str, num_agents, kw_items):
-    return SCENE_BUILDERS[name](num_agents=num_agents, **dict(kw_items))
+    import dataclasses
+    scene, cfg = SCENE_BUILDERS[name](num_agents=num_agents, **dict(kw_items))
+    # stamp replay metadata (EnvConfig.scene_name/scene_kwargs): params.json
+    # then carries everything needed to rebuild this exact env at eval time
+    cfg = dataclasses.replace(cfg, scene_name=name, scene_kwargs=kw_items)
+    return scene, cfg
 
 
 def make_scene(name: str, num_agents: int | None = None, **kwargs):
@@ -44,3 +49,20 @@ def make_scene(name: str, num_agents: int | None = None, **kwargs):
 
 def register_scene(name: str, builder):
     SCENE_BUILDERS[name] = builder
+
+
+def replay_scene(env_dict: dict, **overrides):
+    """Rebuild (scene, cfg) from a params.json env dict.
+
+    The harness stores `dataclasses.asdict(EnvConfig)` per trial; the
+    scene_name/scene_kwargs stamp lets eval reconstruct the exact trained env
+    (incl. non-default lane_num / parking_space_num / comm settings) the way
+    the reference's eval replays each trial's params.json (`eval.py:66-139`).
+    `overrides` (e.g. crash_done=True) win over the stored kwargs.
+    """
+    name = env_dict.get("scene_name")
+    if not name:
+        raise KeyError("env dict has no scene_name (pre-r4 trial?)")
+    kw = dict(tuple(item) for item in (env_dict.get("scene_kwargs") or ()))
+    kw.update(overrides)
+    return make_scene(name, num_agents=env_dict.get("num_agents"), **kw)

@@ -38,8 +38,9 @@ def make_policy_fn(deterministic: bool = False):
 
 
 def _episode(scene: SceneData, cfg: EnvConfig, policy_fn, policy_params,
-             env_params, key):
-    """One full eval episode (horizon steps). Returns accumulated stats."""
+             env_params, key, drain_steps: int):
+    """One full eval episode (horizon steps + bounded drain). Returns
+    accumulated stats."""
     k_reset, k_run = jax.random.split(key)
     state, obs = engine_reset(scene, cfg, k_reset, env_params)
     init_agents = state.next_uid
@@ -64,12 +65,46 @@ def _episode(scene: SceneData, cfg: EnvConfig, policy_fn, policy_params,
         }
         return (state, out.obs), rec
 
+    def drained_step_fn(carry, k):
+        # drain segment: once no agent is alive the env state is frozen and
+        # the policy/step work is skipped (the typical post-horizon field
+        # empties within tens of steps; paying 1000 full steps for it doubled
+        # eval cost and the monolithic 2000-step program wedged XLA compile
+        # on the remote-attached backend — NOTES_r3 items 3/5)
+        state, obs = carry
+        any_alive = jnp.any(state.alive)
+        zero_rec = {
+            "done": jnp.zeros_like(state.alive),
+            "arrive": jnp.zeros_like(state.alive),
+            "crash": jnp.zeros_like(state.alive),
+            "oor": jnp.zeros_like(state.alive),
+            "max_step": jnp.zeros_like(state.alive),
+            "ep_reward_at_done": jnp.zeros_like(state.ep_reward),
+            "ep_cost_at_done": jnp.zeros_like(state.ep_cost),
+            "ep_len_at_done": jnp.zeros_like(state.steps),
+            "ep_nei_at_done": jnp.zeros_like(state.ep_nei_reward),
+            "rc_at_done": jnp.zeros_like(state.ep_reward),
+            "velocity": jnp.zeros_like(state.speed),
+            "valid": jnp.zeros_like(state.alive),
+        }
+        return jax.lax.cond(
+            any_alive, lambda c: step_fn(c, k),
+            lambda c: (c, zero_rec), (state, obs),
+        )
+
     # Under horizon_grace (MetaDrive MA semantics) the scene keeps running
-    # after the horizon until the field drains — scan long enough to count
-    # every spawned agent's terminal state (bounded by the per-agent cap).
-    T = cfg.horizon + (cfg.max_step_per_agent if cfg.horizon_grace else 0)
-    keys = jax.random.split(k_run, T)
-    (state, _), rec = jax.lax.scan(step_fn, (state, obs), keys)
+    # after the horizon until the field drains. Two scan segments: the
+    # horizon proper, then a drain bounded by `drain_steps` (cap on the
+    # per-agent step budget of horizon survivors).
+    keys = jax.random.split(k_run, cfg.horizon + drain_steps)
+    (state, obs), rec = jax.lax.scan(step_fn, (state, obs), keys[:cfg.horizon])
+    if drain_steps > 0:
+        (state, _), rec2 = jax.lax.scan(
+            drained_step_fn, (state, obs), keys[cfg.horizon:]
+        )
+        rec = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), rec, rec2
+        )
     return {
         "total_agents": state.next_uid,
         "initial_agents": init_agents,
@@ -77,7 +112,7 @@ def _episode(scene: SceneData, cfg: EnvConfig, policy_fn, policy_params,
     }
 
 
-_jit_episode = jax.jit(_episode, static_argnums=(1, 2))
+_jit_episode = jax.jit(_episode, static_argnums=(1, 2, 6))
 
 
 #: window length for traffic-efficiency rates (reference RecorderEnv logs
@@ -148,10 +183,19 @@ def episode_result(raw) -> dict:
     }
 
 
+#: default cap on the post-horizon drain scan. MetaDrive's bound is the full
+#: max_step_per_agent (an agent spawned at the horizon could live 1000 more
+#: steps), but the field empties within a few hundred steps in practice —
+#: agents still alive past the cap simply go unreported for that episode,
+#: identical to the reference's per-agent max_step cut.
+DEFAULT_DRAIN_STEPS = 500
+
+
 def evaluate_policy(scene: SceneData, cfg: EnvConfig, params_or_policy,
                     num_episodes: int = 20, seed: int = 0,
                     env_params: EnvParams | None = None,
-                    deterministic: bool = False) -> list[dict]:
+                    deterministic: bool = False,
+                    drain_steps: int | None = None) -> list[dict]:
     """Evaluate a policy for `num_episodes`; one result row per episode.
 
     `params_or_policy` is a model params pytree or a (params, obs, key)->act
@@ -163,11 +207,14 @@ def evaluate_policy(scene: SceneData, cfg: EnvConfig, params_or_policy,
         policy_fn = make_policy_fn(deterministic)
         policy_params = params_or_policy
     env_params = env_params or EnvParams.default(cfg.num_agents)
+    if drain_steps is None:
+        drain_steps = min(cfg.max_step_per_agent, DEFAULT_DRAIN_STEPS) \
+            if cfg.horizon_grace else 0
 
     rows = []
     for ep in range(num_episodes):
         raw = _jit_episode(scene, cfg, policy_fn, policy_params, env_params,
-                           jax.random.PRNGKey(seed * 1000 + ep))
+                           jax.random.PRNGKey(seed * 1000 + ep), drain_steps)
         row = episode_result(jax.device_get(raw))
         row["episode"] = ep
         rows.append(row)

@@ -17,8 +17,15 @@ import jax.numpy as jnp
 
 
 def export_policy_npz(params: dict, path: str, layout: str = "tf",
-                      policy_name: str = "default", suffix: str = ""):
-    """Write the policy tower to npz in a reference-compatible layout."""
+                      policy_name: str = "default", suffix: str = "",
+                      lcf_dist: tuple | None = None):
+    """Write the policy tower to npz in a reference-compatible layout.
+
+    `lcf_dist=(mean, std)` embeds the learned LCF distribution an
+    LCF-conditioned policy was trained under (the reference loses this —
+    it recovers LCF from progress.csv or a hard-coded lookup table,
+    `get_policy_function_from_checkpoint.py:53-63`; storing it in the
+    artifact makes the npz self-contained for re-evaluation)."""
     layers = params["policy"]
     assert len(layers) == 3, "reference npz layout is 2 hidden + output"
     out = {}
@@ -35,13 +42,17 @@ def export_policy_npz(params: dict, path: str, layout: str = "tf",
             out[f"{name}.bias"] = np.asarray(lyr["b"])
     else:
         raise ValueError(layout)
+    if lcf_dist is not None:
+        out["lcf_dist"] = np.asarray(lcf_dist, dtype=np.float32)
     np.savez(path, **out)
 
 
 def load_policy_npz(path: str) -> dict:
     """Read a policy npz (either reference layout) into our params format.
 
-    Returns {"policy": [{"w", "b"} x3]} with w in (in, out) orientation.
+    Returns {"policy": [{"w", "b"} x3]} with w in (in, out) orientation;
+    plus "lcf_dist": (mean, std) when the npz embeds its LCF distribution
+    (our exports do — see `export_policy_npz`).
     """
     raw = np.load(path)
     files = set(raw.files)
@@ -70,4 +81,8 @@ def load_policy_npz(path: str) -> dict:
                 "w": jnp.asarray(raw[f"{name}.weight"]).T,
                 "b": jnp.asarray(raw[f"{name}.bias"]),
             })
-    return {"policy": layers}
+    params = {"policy": layers}
+    if "lcf_dist" in files:
+        mean, std = np.asarray(raw["lcf_dist"], dtype=np.float64)
+        params["lcf_dist"] = (float(mean), float(std))
+    return params

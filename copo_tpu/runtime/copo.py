@@ -34,6 +34,10 @@ class CoPOConfig(TrainerConfig):
     lcf_num_iters: int = 5
     lcf_sgd_minibatch_size: int | None = None   # defaults to sgd_minibatch_size
     initial_lcf_std: float = 0.1
+    # L1 advantage stream of the meta-gradient: standardized global advantage
+    # (reference default, `train_all_copo_dist.py:49`) vs standardized ego
+    # advantage (published ablation, `grad.py:43-46`)
+    use_global_value: bool = True
 
 
 @struct.dataclass
@@ -116,6 +120,7 @@ class CoPOTrainer(IPPOTrainer):
         traj["raw_adv_std"] = raw_std
         traj["normalized_advantages"] = standardized(blended, mask)
         traj["global_advantages"] = standardized(glb_adv, mask)
+        traj["normalized_ego_advantages"] = standardized(adv, mask)
         return traj
 
     # ---- the meta-update -------------------------------------------------
@@ -125,7 +130,8 @@ class CoPOTrainer(IPPOTrainer):
         M = T * B * N
         keys = [
             "obs", "actions", "logp_old", "global_advantages",
-            "advantages", "nei_advantage", "valid",
+            "normalized_ego_advantages", "advantages", "nei_advantage",
+            "valid",
         ]
         data = {k: traj[k].reshape((M,) + traj[k].shape[3:]) for k in keys}
         mb = cfg.lcf_sgd_minibatch_size or cfg.sgd_minibatch_size
@@ -149,6 +155,7 @@ class CoPOTrainer(IPPOTrainer):
             lcf_grad, meta_stats = meta_gradient(
                 dict(params, lcf=lcf_params), target_params, batch,
                 clip_param, raw_mean, raw_std, k,
+                use_global_value=cfg.use_global_value,
             )
             updates, opt_state = lcf_tx.update(lcf_grad, opt_state, lcf_params)
             lcf_params = optax.apply_updates(lcf_params, updates)

@@ -62,7 +62,7 @@ class EpisodeSmoother:
 
     def __init__(self, window: int = SMOOTH_EPISODES):
         self.window = window
-        self._hist: list[tuple[float, dict]] = []   # (n_episodes, sums)
+        self._hist: list[tuple[float, dict]] = []   # (n_episodes, {col: (sum, w)})
 
     def update(self, metrics: dict) -> dict:
         n = float(np.asarray(metrics.get("episodes_this_iter", 0.0)))
@@ -70,17 +70,21 @@ class EpisodeSmoother:
             sums = {}
             for col, key in _SMOOTHED.items():
                 v = float(np.asarray(metrics.get(key, np.nan)))
-                sums[col] = v * n if np.isfinite(v) else 0.0
+                # a non-finite per-iteration rate EXCLUDES this iteration
+                # from that column's window (weight 0) — folding it in as
+                # sum 0 / weight n would deflate the smoothed value
+                sums[col] = (v * n, n) if np.isfinite(v) else (0.0, 0.0)
             self._hist.append((n, sums))
             while sum(h[0] for h in self._hist[1:]) >= self.window:
                 self._hist.pop(0)
-        total = sum(h[0] for h in self._hist)
-        if total == 0:
-            return {col: float("nan") for col in _SMOOTHED}
-        return {
-            col: sum(h[1][col] for h in self._hist) / total
-            for col in _SMOOTHED
-        }
+        out = {}
+        for col in _SMOOTHED:
+            w = sum(h[1][col][1] for h in self._hist)
+            out[col] = (
+                sum(h[1][col][0] for h in self._hist) / w if w > 0
+                else float("nan")
+            )
+        return out
 
 
 def _row_from_metrics(it, env_steps, m, smoothed):

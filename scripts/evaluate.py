@@ -21,6 +21,7 @@ enable_compile_cache()
 
 
 from copo_tpu.envs import make_scene
+from copo_tpu.envs.scenes import replay_scene
 from copo_tpu.eval.evaluator import evaluate_policy, summarize
 from copo_tpu.eval.npz import load_policy_npz
 
@@ -47,18 +48,25 @@ def eval_trial(trial_dir, num_episodes, out_rows, out_dir, export_npz=False):
 
     with open(os.path.join(trial_dir, "params.json")) as f:
         params_json = json.load(f)
-    env_name = None
-    for cand in ("intersection", "roundabout", "bottleneck", "tollgate",
-                 "parking", "pgmap"):
-        if cand in trial_dir:
-            env_name = cand
-    assert env_name, f"cannot infer env from {trial_dir}"
-    lcf = params_json["env"].get("lcf_enabled", False)
-    # eval protocol forces crash_done=True (evaluate_population.py:106-132)
-    kw = dict(crash_done=True)
-    if lcf:
-        kw["lcf_enabled"] = True
-    scene, cfg = make_scene(env_name, **kw)
+    env_dict = params_json["env"]
+    lcf = env_dict.get("lcf_enabled", False)
+    # eval protocol forces crash_done=True (evaluate_population.py:106-132);
+    # everything else replays the TRAINED env config from params.json
+    # (reference eval.py:66-139 does the same) instead of name-sniffing.
+    if env_dict.get("scene_name"):
+        scene, cfg = replay_scene(env_dict, crash_done=True)
+    else:
+        # legacy pre-r4 trial dirs: fall back to inferring from the dir name
+        env_name = None
+        for cand in ("intersection", "roundabout", "bottleneck", "tollgate",
+                     "parking", "pgmap"):
+            if cand in trial_dir:
+                env_name = cand
+        assert env_name, f"cannot infer env from {trial_dir}"
+        kw = dict(crash_done=True)
+        if lcf:
+            kw["lcf_enabled"] = True
+        scene, cfg = make_scene(env_name, **kw)
 
     ckpt_root = os.path.join(trial_dir, "checkpoints")
     ckpts = sorted(
@@ -101,11 +109,17 @@ def eval_trial(trial_dir, num_episodes, out_rows, out_dir, export_npz=False):
     best = max(summaries, key=lambda s: s["success_rate"])
     if export_npz:
         # policy-only npz of the best checkpoint, reference layout (item 28
-        # shipped-artifact equivalent; `best_checkpoints/*.npz`)
+        # shipped-artifact equivalent; `best_checkpoints/*.npz`). For an
+        # LCF-conditioned policy the learned LCF distribution is embedded in
+        # the npz so re-evaluating it doesn't fall back to a lookup table.
         from copo_tpu.eval.npz import export_policy_npz
         params = restore_params(os.path.join(ckpt_root, best["checkpoint"]))
         npz_path = os.path.join(out_dir, f"{trial}_best.npz")
-        export_policy_npz(params, npz_path)
+        lcf_dist = None
+        if lcf and "lcf" in params:
+            from copo_tpu.models.mlp import lcf_mean, lcf_std
+            lcf_dist = (float(lcf_mean(params)), float(lcf_std(params)))
+        export_policy_npz(params, npz_path, lcf_dist=lcf_dist)
         print(f"  exported {npz_path}")
     out_rows.append(best)
 
@@ -130,16 +144,18 @@ if __name__ == "__main__":
         from copo_tpu.envs.config import EnvParams
 
         params = load_policy_npz(args.npz)
+        embedded_lcf = params.pop("lcf_dist", None)
         in_dim = params["policy"][0]["w"].shape[0]
         scene, cfg = make_scene(args.env, crash_done=True)
         env_params = None
         if in_dim == cfg.obs_dim + 1:
             # LCF-conditioned policy (e.g. reference CoPO npz, 92-dim on
             # intersection): rebuild the env with the LCF obs slot and sample
-            # per-agent LCF from the policy's learned distribution
-            # (`get_policy_function.py:162-196`; lookup table :11-51)
+            # per-agent LCF from the policy's learned distribution. Priority:
+            # distribution embedded in the npz (our exports) > the reference
+            # lookup table (`get_policy_function.py:11-51`) > CLI flags.
             stem = os.path.basename(args.npz).rsplit(".", 1)[0]
-            mean, std = REF_LCF_TABLE.get(
+            mean, std = embedded_lcf or REF_LCF_TABLE.get(
                 stem, (args.lcf_mean, args.lcf_std))
             scene, cfg = make_scene(args.env, crash_done=True, lcf_enabled=True)
             env_params = EnvParams.default(cfg.num_agents).replace(

@@ -63,7 +63,12 @@ def make_trainer(args):
         scene_kwargs["lcf_enabled"] = True
     if getattr(args, "no_crash_done", False):
         scene_kwargs["crash_done"] = False
-    if getattr(args, "lane_num", None) and args.env == "intersection":
+    if getattr(args, "lane_num", None) is not None:
+        if args.env != "intersection":
+            raise SystemExit(
+                f"--lane-num is only consumed by the intersection scene; "
+                f"env {args.env!r} would silently train default geometry"
+            )
         scene_kwargs["lane_num"] = args.lane_num
     scene, env_cfg = make_scene(args.env, num_agents=args.num_agents,
                                 **scene_kwargs)

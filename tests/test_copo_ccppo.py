@@ -104,6 +104,21 @@ def test_copo_obs_includes_lcf_slot(copo_setup):
     assert abs(slot[alive].mean() - 0.5) < 0.1
 
 
+def test_copo_use_global_value_false():
+    # published ablation axis (`train_all_copo_dist.py:49`, `grad.py:43-46`):
+    # L1 falls back to the standardized ego advantage
+    scene, env_cfg = make_scene("intersection", num_agents=6, horizon=100,
+                                lcf_enabled=True)
+    cfg = CoPOConfig(num_envs=2, rollout_T=10, sgd_minibatch_size=32,
+                     num_sgd_iter=2, lcf_num_iters=2, use_global_value=False)
+    tr = CoPOTrainer(scene, env_cfg, cfg)
+    state = tr.init_state()
+    lcf0 = np.asarray(state.params["lcf"]).copy()
+    state, m = tr.train_iter(state)
+    assert np.isfinite(float(m["meta/grad_value"]))
+    assert np.any(np.asarray(state.params["lcf"]) != lcf0)
+
+
 def test_copo_requires_lcf_env():
     scene, env_cfg = make_scene("intersection", num_agents=6)
     with pytest.raises(ValueError):

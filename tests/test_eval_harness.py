@@ -139,3 +139,43 @@ def test_checkpoint_restore_resumes(tmp_path):
     # restored state trains further
     restored, metrics = trainer.train_iter(restored)
     assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_episode_smoother_excludes_nonfinite():
+    # a NaN per-iteration rate must be EXCLUDED from its column's window,
+    # not folded in as 0 (which deflated the smoothed value / top-K score)
+    from copo_tpu.runtime.harness import EpisodeSmoother
+    s = EpisodeSmoother(window=100)
+    out = s.update({"episodes_this_iter": 10, "success_rate": 0.8,
+                    "episode_cost": float("nan")})
+    assert out["success"] == 0.8
+    assert np.isnan(out["cost"])
+    out = s.update({"episodes_this_iter": 10, "success_rate": 0.6,
+                    "episode_cost": 2.0})
+    assert abs(out["success"] - 0.7) < 1e-9
+    assert out["cost"] == 2.0
+
+
+def test_scene_replay_metadata_roundtrip():
+    # params.json env dict -> replay_scene rebuilds the exact trained env
+    import dataclasses
+    import json as _json
+
+    from copo_tpu.envs.scenes import replay_scene
+    scene, cfg = make_scene("intersection", num_agents=7, lcf_enabled=True,
+                            horizon=123)
+    env_dict = _json.loads(_json.dumps(dataclasses.asdict(cfg)))
+    scene2, cfg2 = replay_scene(env_dict, crash_done=True)
+    assert cfg2.num_agents == 7 and cfg2.horizon == 123
+    assert cfg2.lcf_enabled and cfg2.crash_done
+    assert cfg2.obs_dim == cfg.obs_dim
+
+
+def test_npz_lcf_dist_roundtrip(tmp_path):
+    from copo_tpu.eval.npz import export_policy_npz, load_policy_npz
+    from copo_tpu.models.mlp import init_model
+    params = init_model(jax.random.PRNGKey(0), 92, 2)
+    p = str(tmp_path / "pol.npz")
+    export_policy_npz(params, p, lcf_dist=(0.37, 0.09))
+    loaded = load_policy_npz(p)
+    assert loaded["lcf_dist"] == (np.float32(0.37), np.float32(0.09))
