@@ -87,7 +87,15 @@ class EnvConfig:
     vehicle_width: float = 1.85
     wheelbase: float = 2.6
     max_speed: float = 11.1         # m/s (40 km/h)
-    max_reverse_speed: float = 3.0  # m/s cap when backing out of contact
+    # speed-obs normalizer (m/s); 0 = use max_speed. MetaDrive's speed dim is
+    # (km/h + 1)/(vehicle.max_speed + 1) with a config max_speed well above
+    # the typical cruise speed, so trained policies see mid-range values —
+    # a tighter normalizer makes them read "fast" too early and brake.
+    obs_max_speed: float = 0.0
+    max_reverse_speed: float = 3.0  # m/s reverse cap (when enable_reverse)
+    # MetaDrive 0.2.5 `vehicle_config["enable_reverse"]` — False everywhere
+    # except MultiAgentParkingLotEnv; with it off, brake at standstill holds
+    enable_reverse: bool = False
     max_steering: float = 0.6981    # rad (40 deg)
     max_accel: float = 2.5          # m/s^2
     max_brake: float = 6.0          # m/s^2

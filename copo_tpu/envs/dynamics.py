@@ -28,11 +28,14 @@ def step_dynamics(cfg: EnvConfig, pos, heading, speed, steering, actions):
     target = a_steer * cfg.max_steering
     new_steering = steering + cfg.steering_smooth * (target - steering)
 
-    # Negative throttle brakes while moving forward and, held at standstill,
-    # engages reverse (MetaDrive's Bullet vehicle does the same: brake force
-    # above zero speed, reverse engine force at/below it). Without reverse,
-    # head-on contacts in a junction deadlock permanently — Bullet lets
-    # vehicles back out.
+    # Negative throttle brakes while moving forward; held at standstill it
+    # engages reverse ONLY when cfg.enable_reverse (MetaDrive 0.2.5
+    # `vehicle_config["enable_reverse"]`, default False — only the parking
+    # scene enables it). With reverse off, a policy holding the brake stays
+    # parked, exactly like MetaDrive; free reverse let cautious policies
+    # creep backwards off-road (cross-eval of the shipped CoPO policies
+    # showed out-of-road exits at full reverse speed the reference env
+    # cannot produce).
     accel = jnp.where(a_throttle >= 0.0, a_throttle * cfg.max_accel, a_throttle * cfg.max_brake)
     new_speed = speed + accel * cfg.dt
     # rolling/drag deceleration always opposes motion (toward zero)
@@ -42,7 +45,8 @@ def step_dynamics(cfg: EnvConfig, pos, heading, speed, steering, actions):
         jnp.maximum(new_speed - drag, 0.0),
         jnp.minimum(new_speed + drag, 0.0),
     )
-    new_speed = jnp.clip(new_speed, -cfg.max_reverse_speed, cfg.max_speed)
+    reverse_cap = cfg.max_reverse_speed if cfg.enable_reverse else 0.0
+    new_speed = jnp.clip(new_speed, -reverse_cap, cfg.max_speed)
 
     # Tire-grip cornering cap (see EnvConfig.lat_accel_max): shed speed at a
     # bounded scrub rate until v^2 |tan(delta)| / L <= a_lat_max.

@@ -24,7 +24,8 @@ from copo_tpu.envs.config import EnvConfig, EnvParams
 from copo_tpu.envs.dynamics import step_dynamics, wrap_angle
 from copo_tpu.envs.lidar import lidar_scan
 from copo_tpu.envs.geometry import WAYPOINT_SPACING
-from copo_tpu.envs.observation import build_obs, in_zone as obs_in_zone
+from copo_tpu.envs.observation import (build_obs, in_zone as obs_in_zone,
+                                       lane_snapped_lateral as obs_lane_lateral)
 from copo_tpu.envs.routing import locate_on_route
 from copo_tpu.envs.scene import SceneData
 
@@ -385,9 +386,13 @@ def engine_step(scene: SceneData, cfg: EnvConfig, state: EnvState, actions,
         #     progress * lateral-factor + speed term each step; on a terminal
         #     event the step reward is REPLACED by the bonus/penalty, priority
         #     arrive > out_of_road > crash_vehicle) ---
+        # lateral factor against the NEAREST lane of the road (MetaDrive
+        # measures in vehicle.lane when it belongs to the route's ref lanes:
+        # overtaking in an adjacent lane keeps the full progress reward)
+        lat_lane = obs_lane_lateral(lateral, left_w, right_w, cfg.lane_width)
         lat_factor = jnp.where(
             cfg.use_lateral_reward,
-            jnp.clip(1.0 - 2.0 * jnp.abs(lateral) / cfg.lane_width, 0.0, 1.0),
+            jnp.clip(1.0 - 2.0 * jnp.abs(lat_lane) / cfg.lane_width, 0.0, 1.0),
             1.0,
         )
         dense = cfg.driving_reward * progress * lat_factor

@@ -95,6 +95,27 @@ def navi_block(scene: SceneData, cfg: EnvConfig, pos, heading, route_idx, s):
     return jnp.stack(feats, axis=-1)
 
 
+def lane_snapped_lateral(lateral, left_w, right_w, lane_width):
+    """Signed offset from the NEAREST parallel lane centerline.
+
+    MetaDrive localizes against `vehicle.lane` — the lane the vehicle is
+    actually in — so both the reward's lateral factor and the ego lane-offset
+    obs dim read ~0 for a vehicle centered in ANY lane of its road
+    (`reward_function` current_ref_lanes membership; `StateObservation.
+    vehicle_state` uses vehicle.lane.local_coordinates). Parallel lanes sit
+    at multiples of lane_width from the route centerline, bounded by the
+    corridor: a lane center at k*w needs w/2 clearance to the corridor edge.
+    Without this snap, a vehicle overtaking in the adjacent lane loses its
+    entire progress reward and sees a saturated lane-offset obs that steers
+    it toward the curb (cross-eval of the reference's shipped policies showed
+    a 9x out-of-road inflation vs their home CSVs).
+    """
+    n_left = jnp.maximum(jnp.floor(left_w / lane_width - 0.5 + 1e-4), 0.0)
+    n_right = jnp.maximum(jnp.floor(right_w / lane_width - 0.5 + 1e-4), 0.0)
+    k = jnp.clip(jnp.round(lateral / lane_width), -n_right, n_left)
+    return lateral - k * lane_width
+
+
 def in_zone(scene: SceneData, pos):
     """Bool (...,): inside the scene's special zone (all-zeros zone = never)."""
     z = scene.zone
@@ -233,17 +254,24 @@ def build_obs(scene: SceneData, cfg: EnvConfig, *, pos, heading, speed, steering
     heading_err = wrap_angle(heading - lane_heading)
     speed_kmh = jnp.abs(speed) * 3.6
     total_w = width + cfg.lane_width
+    # lane-offset dim reads against the lane the vehicle is IN (MetaDrive
+    # `vehicle.lane.local_coordinates`), not the assigned route centerline
+    lat_lane = lane_snapped_lateral(lateral, left_w, right_w, cfg.lane_width)
     ego = jnp.stack(
         [
             jnp.clip((left_w - lateral) / total_w, 0.0, 1.0),
             jnp.clip((right_w + lateral) / total_w, 0.0, 1.0),
             _to01(-jnp.sin(heading_err)),
-            jnp.clip((speed_kmh + 1.0) / (cfg.max_speed * 3.6 + 1.0), 0.0, 1.0),
+            jnp.clip(
+                (speed_kmh + 1.0)
+                / ((cfg.obs_max_speed or cfg.max_speed) * 3.6 + 1.0),
+                0.0, 1.0,
+            ),
             _to01(steering / cfg.max_steering),
             _to01(last_action[..., 0]),
             _to01(last_action[..., 1]),
             jnp.clip(jnp.abs(yaw_rate), 0.0, 1.0),
-            _to01(2.0 * lateral / cfg.lane_width),
+            _to01(2.0 * lat_lane / cfg.lane_width),
         ],
         axis=-1,
     )

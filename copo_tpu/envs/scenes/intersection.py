@@ -32,7 +32,12 @@ from copo_tpu.envs.scene import SceneBuildSpec, compile_scene
 
 LANE_W = 3.5
 DEFAULT_N_LANES = 3    # per direction; see module docstring
-BOX = 14.0             # junction half-size
+#: junction corner (sidewalk fillet) radius — MetaDrive InterSection block
+#: default turning radius 10 m; junction half-size = road half-width +
+#: CORNER_R, giving the ~41 m box of the reference scene (cross-eval of the
+#: shipped policies in a 28 m box showed 87% of crashes as low-speed
+#: junction gridlock the reference env doesn't exhibit)
+CORNER_R = 10.0
 ARM = 60.0
 
 
@@ -43,7 +48,7 @@ def _rot(points: np.ndarray, k: int) -> np.ndarray:
     return (np.asarray(points, np.float64) @ np.array([[c, s], [-s, c]]).T).astype(np.float32)
 
 
-def _east_arm_routes(n_lanes: int):
+def _east_arm_routes(n_lanes: int, BOX: float):
     """Routes entering from the east arm (heading -x); rotated for other arms.
 
     Returns list of (polyline, entry_lane_offset, tag)."""
@@ -79,7 +84,7 @@ def _east_arm_routes(n_lanes: int):
     return routes
 
 
-def _walls(road_hw: float):
+def _walls(road_hw: float, BOX: float):
     """Outer road edges along each arm, junction corner fillets, and arm end
     caps."""
     ROAD_HW = road_hw
@@ -107,11 +112,12 @@ def build_intersection(num_agents: int | None = None,
     """Compile the intersection scene. Returns (SceneData, EnvConfig)."""
     num_agents = 30 if num_agents is None else num_agents
     road_hw = lane_num * LANE_W
+    box = road_hw + CORNER_R
 
     routes, half_widths = [], []
     lane_routes = {}  # (arm k, lane y0) -> route indices
     for k in range(4):
-        for poly, y0, tag in _east_arm_routes(lane_num):
+        for poly, y0, tag in _east_arm_routes(lane_num, box):
             idx = len(routes)
             routes.append(_rot(poly, k))
             # left of travel = toward the road centerline (yellow line at
@@ -132,8 +138,8 @@ def build_intersection(num_agents: int | None = None,
         routes=routes,
         half_widths=half_widths,
         spawns=spawns,
-        walls=_walls(road_hw),
-        bbox=(-(BOX + ARM + 5), BOX + ARM + 5, -(BOX + ARM + 5), BOX + ARM + 5),
+        walls=_walls(road_hw, box),
+        bbox=(-(box + ARM + 5), box + ARM + 5, -(box + ARM + 5), box + ARM + 5),
     )
     scene = compile_scene(spec)
     cfg = EnvConfig(num_agents=num_agents, **cfg_overrides)

@@ -116,6 +116,10 @@ def build_parking(num_agents: int | None = None, parking_space_num: int = 8,
     for ri in leave_idx:
         spawns.append([(ri, 0.5)])
 
+    # MetaDrive's parking env is the only scene with reverse enabled
+    # (MAParkingLotConfig vehicle_config enable_reverse=True)
+    cfg_overrides.setdefault("enable_reverse", True)
+
     lot_hw = 3.5 + BAY_LEN * np.sin(BAY_ANGLE) + 3.0
     spec = SceneBuildSpec(
         routes=routes,
