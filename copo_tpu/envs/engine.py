@@ -370,7 +370,11 @@ def engine_step(scene: SceneData, cfg: EnvConfig, state: EnvState, actions,
         # --- events ---
         left_w = scene.route_left_width[state.route, wp_idx]
         right_w = scene.route_right_width[state.route, wp_idx]
-        out_of_road = alive0 & ((lateral > left_w) | (lateral < -right_w))
+        # ejection uses the BOUND tables (road edge + body-contact slack);
+        # obs and the lane-snap below use the road-edge tables
+        left_b = scene.route_left_bound[state.route, wp_idx]
+        right_b = scene.route_right_bound[state.route, wp_idx]
+        out_of_road = alive0 & ((lateral > left_b) | (lateral < -right_b))
         route_len = scene.route_len[state.route]
         # arrive_dest is independent of the out-of-road flag (MetaDrive's
         # done_function checks arrive first; reaching the destination wins)

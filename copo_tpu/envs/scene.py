@@ -31,8 +31,15 @@ class SceneData:
     route_xy: jnp.ndarray        # (R, P, 2) uniform-spacing waypoints, tail-padded
     route_len: jnp.ndarray       # (R,) drivable arc length
     route_n_valid: jnp.ndarray   # (R,) number of valid waypoints
-    route_left_width: jnp.ndarray   # (R, P) drivable width left of centerline per waypoint
-    route_right_width: jnp.ndarray  # (R, P) drivable width right of centerline per waypoint
+    route_left_width: jnp.ndarray   # (R, P) road-edge distance left of centerline (obs)
+    route_right_width: jnp.ndarray  # (R, P) road-edge distance right of centerline (obs)
+    # Out-of-road ejection bounds: the road edge plus the body-contact slack
+    # (wall_margin / profile_slack). MetaDrive OBSERVES the distance to the
+    # road edge but EJECTS only once the body overlaps the curb/sidewalk —
+    # the two must be separate tables or policies equilibrate against a
+    # shifted edge and ride the ejection line (r4 cross-eval diagnosis).
+    route_left_bound: jnp.ndarray   # (R, P)
+    route_right_bound: jnp.ndarray  # (R, P)
     # Localization window table: route_win[r, p, k] = route_xy[r, clip(p -
     # WINDOW_BACK + k, 0, n_valid[r]-1)], k = 0..WINDOW_SIZE. Lets the hot
     # locate_on_route gather ONE contiguous (WINDOW_SIZE+1, 2) row per agent
@@ -99,10 +106,20 @@ class SceneBuildSpec:
     lidar_range: float = 40.0
     zone: tuple | None = None    # (xmin, xmax, ymin, ymax) special scene zone
     # Clearance kept between the vehicle center and a physical wall before
-    # out-of-road fires. MetaDrive's sidewalks sit slightly beyond the road
-    # edge line, so a small margin (not the full half vehicle width)
-    # reproduces the effective boundary.
-    wall_margin: float = 0.4
+    # out-of-road fires. NEGATIVE extends the drivable corridor past the
+    # wall face: MetaDrive ejects on BODY-sidewalk contact (crash_sidewalk),
+    # so the vehicle center can ride ~half a vehicle width beyond the curb
+    # line before the event fires. Cross-eval: a +0.4 margin ejected the
+    # reference's curb-hugging policies 1.3 m early (r3/r4 roundabout
+    # diagnosis); -0.9 = half the 1.85 m body width.
+    wall_margin: float = -0.9
+    # Slack added to the CONFIGURED half-width profiles (left, right) before
+    # the wall clamp. Convention in the directional scenes: left = yellow
+    # center line (painted line — the reference's flag fires around the
+    # vehicle center crossing it, keep exact), right = curb face (body
+    # contact, same slack rationale as wall_margin). One-directional scenes
+    # whose left edge is also a curb pass (0.9, 0.9).
+    profile_slack: tuple = (0.0, 0.9)
 
 
 def _interp_on_route(route: np.ndarray, s: float) -> tuple[np.ndarray, float]:
@@ -138,10 +155,13 @@ def compile_scene(spec: SceneBuildSpec) -> SceneData:
             spawn_route_s[i, j] = sj
 
     # per-waypoint corridor widths: configured profile ANDed with the
-    # perpendicular wall raycast (minus a half-vehicle margin)
+    # perpendicular wall raycast. Two tables: road-edge distances (obs) and
+    # ejection bounds (road edge + body-contact slack).
     P = route_xy.shape[1]
     lw = np.zeros((len(resampled), P), np.float32)
     rw = np.zeros((len(resampled), P), np.float32)
+    lb = np.zeros((len(resampled), P), np.float32)
+    rb = np.zeros((len(resampled), P), np.float32)
     for i, r in enumerate(resampled):
         prof = spec.half_widths[i]
         s = np.arange(len(r)) * geo.WAYPOINT_SPACING
@@ -160,12 +180,19 @@ def compile_scene(spec: SceneBuildSpec) -> SceneData:
                 sel = s >= s_start
                 cl[sel], cr[sel] = float(l_val), float(r_val)
         wall_l, wall_r = geo.perp_wall_distances(r, spec.walls)
-        lw_i = np.minimum(cl, np.maximum(wall_l - spec.wall_margin, 1.0))
-        rw_i = np.minimum(cr, np.maximum(wall_r - spec.wall_margin, 1.0))
+        ls, rs = spec.profile_slack
+        lw_i = np.minimum(cl, np.maximum(wall_l, 1.0))
+        rw_i = np.minimum(cr, np.maximum(wall_r, 1.0))
+        lb_i = np.minimum(cl + ls, np.maximum(wall_l - spec.wall_margin, 1.0))
+        rb_i = np.minimum(cr + rs, np.maximum(wall_r - spec.wall_margin, 1.0))
         lw[i, :len(r)] = lw_i
         rw[i, :len(r)] = rw_i
         lw[i, len(r):] = lw_i[-1]
         rw[i, len(r):] = rw_i[-1]
+        lb[i, :len(r)] = lb_i
+        rb[i, :len(r)] = rb_i
+        lb[i, len(r):] = lb_i[-1]
+        rb[i, len(r):] = rb_i[-1]
 
     field, origin = geo.bake_lidar_field(
         spec.walls, spec.bbox, spec.lidar_cell, spec.lidar_angles, spec.lidar_range
@@ -186,6 +213,7 @@ def compile_scene(spec: SceneBuildSpec) -> SceneData:
         route_len=jnp.asarray(route_len),
         route_n_valid=jnp.asarray(n_valid),
         route_left_width=jnp.asarray(lw), route_right_width=jnp.asarray(rw),
+        route_left_bound=jnp.asarray(lb), route_right_bound=jnp.asarray(rb),
         route_win=jnp.asarray(route_win),
         spawn_xy=jnp.asarray(spawn_xy),
         spawn_heading=jnp.asarray(spawn_heading),

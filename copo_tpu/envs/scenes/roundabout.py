@@ -19,20 +19,23 @@ LANE_W = 3.5
 RING_R = 20.0          # ring route centerline radius
 ROAD_HW = 2 * LANE_W   # arm road half-width (2 lanes each way)
 ARM = 55.0
-OPEN_DEG = 32.0        # merge/exit angle offset of routes from arm angles
+OPEN_DEG = 32.0        # merge angle offset of routes past the arm angle
+EXIT_PEEL_DEG = 30.0   # peel-off starts this far before the exit arm angle
 WALL_OPEN_DEG = 38.0   # angular half-opening of the ring wall at each arm
 
 
-def _arm_entry_route(exit_arm_offset: int):
+def _arm_entry_route(exit_arm_offset: int, entry_lane: int = 0):
     """Route entering from the east arm (heading -x), leaving at the arm
-    `exit_arm_offset` quadrants counterclockwise (1=south? see note).
+    `exit_arm_offset` quadrants counterclockwise.
 
     CCW circulation (right-hand traffic): a vehicle entering at the east arm
-    merges at ring angle +OPEN_DEG and peels off at exit_angle - OPEN_DEG.
-    exit_arm_offset k in {1,2,3} exits at arm angle k*90 deg (1=north=right
-    turn, 2=west=straight through, 3=south=the long way round).
+    merges at ring angle +OPEN_DEG and peels off before the exit arm's
+    angle. exit_arm_offset k in {1,2,3} exits at arm angle k*90 deg
+    (1=north=right turn, 2=west=straight through, 3=south=the long way).
+    `entry_lane` 0/1 = inner/outer entry lane (MetaDrive's arms are 2-lane;
+    both feed the ring).
     """
-    y0 = LANE_W / 2          # entry lane offset (right side for -x heading)
+    y0 = LANE_W / 2 + entry_lane * LANE_W
     join_r = RING_R + ROAD_HW + 4.0
     entry = geo.straight((join_r + ARM, y0), (join_r, y0))
 
@@ -44,21 +47,27 @@ def _arm_entry_route(exit_arm_offset: int):
     ring_entry_tan = np.array([-np.sin(a0), np.cos(a0)])
     merge = geo.hermite((join_r, y0), (-1.0, 0.0), ring_entry, ring_entry_tan, n=20)
 
-    # ring arc CCW from +a0, peeling off just before the exit arm's angle
+    # ring arc CCW from +a0, peeling off well before the exit arm's angle
+    # (an early, shallow peel — a late one forces a tight blend that cuts
+    # across the exit road's yellow line)
     exit_angle = np.radians(90.0 * exit_arm_offset)
-    ring_exit_angle = exit_angle - a0
+    ring_exit_angle = exit_angle - np.radians(EXIT_PEEL_DEG)
     ring = geo.arc((0.0, 0.0), RING_R, a0, ring_exit_angle, step_deg=4.0)
 
-    # exit: Hermite from the ring tangent to the outbound exit-lane straight
+    # exit: Hermite from the ring tangent onto the inner outbound lane,
+    # with a LONG settling runway — the path then crosses the arm mouth
+    # centered (a short runway either cuts the yellow line or hugs the
+    # mouth's right wall corner; both eject the reference's shipped
+    # policies under action noise)
     exit_y0 = LANE_W / 2
     c, s = np.cos(exit_angle), np.sin(exit_angle)
     rot = np.array([[c, -s], [s, c]])
-    p_exit_start = rot @ np.array([join_r, -exit_y0])
+    p_exit_start = rot @ np.array([join_r + 12.0, -exit_y0])
     p_exit_end = rot @ np.array([join_r + ARM, -exit_y0])
     ring_exit = RING_R * np.array([np.cos(ring_exit_angle), np.sin(ring_exit_angle)])
     ring_exit_tan = np.array([-np.sin(ring_exit_angle), np.cos(ring_exit_angle)])
     out_dir = rot @ np.array([1.0, 0.0])
-    blend = geo.hermite(ring_exit, ring_exit_tan, p_exit_start, out_dir, n=20)
+    blend = geo.hermite(ring_exit, ring_exit_tan * 1.5, p_exit_start, out_dir * 1.5, n=26)
     out = geo.straight(p_exit_start, p_exit_end)
 
     return geo.join_polylines(entry, merge, ring, blend, out)
@@ -103,25 +112,28 @@ def build_roundabout(num_agents: int | None = None, **cfg_overrides):
     routes, half_widths = [], []
     lane_routes = {}
     for k in range(4):                       # entry arm
+      for lane in (0, 1):                    # inner / outer entry lane
         for off in (1, 2, 3):                # exit arm offset (CCW quadrants)
             idx = len(routes)
-            poly = _rot(_arm_entry_route(off), k)
+            poly = _rot(_arm_entry_route(off, lane), k)
             routes.append(poly)
-            # piecewise corridor: on the two-way arms the yellow line at
-            # lateral LANE_W/2 bounds the left side; on the ring the island /
+            # piecewise corridor: on the two-way arms the yellow line
+            # bounds the left side (entry lane offset y0; exits ride the
+            # OUTER lane, yellow at 3w/2 left); on the ring the island /
             # outer walls bound the corridor (clamped by the wall raycast)
+            y0 = LANE_W / 2 + lane * LANE_W
             seg = np.diff(np.asarray(poly, np.float64), axis=0)
             total_len = float(np.linalg.norm(seg, axis=1).sum())
             half_widths.append([
-                (0.0, LANE_W / 2, ROAD_HW - LANE_W / 2),
+                (0.0, y0, ROAD_HW - y0),
                 (ARM - 4.0, ROAD_HW, ROAD_HW),
-                (total_len - ARM + 4.0, LANE_W / 2, ROAD_HW - LANE_W / 2),
+                (total_len - ARM + 12.0, LANE_W / 2, ROAD_HW - LANE_W / 2),
             ])
-            lane_routes.setdefault(k, []).append(idx)
+            lane_routes.setdefault((k, lane), []).append(idx)
 
     join_r = RING_R + ROAD_HW + 4.0
     spawns = []
-    for k, ridxs in lane_routes.items():
+    for (k, lane), ridxs in lane_routes.items():
         for s0 in (4.0, 14.0, 24.0, 34.0, 44.0):
             spawns.append([(ri, s0) for ri in ridxs])
 
