@@ -121,15 +121,32 @@ class EnvConfig:
     lcf_mode: str = "angle"         # "angle" | "linear" blending of coordinated reward
     return_native_reward: bool = True
 
-    # --- scene-specific extra observation dims (bottleneck +5, tollgate +65) ---
-    obs_extra_dim: int = 0
-    # "zeros" = reserved block; "detector" = (obs_extra_dim-1) static-obstacle
-    # detector beams + 1 in-zone flag (our equivalent of MetaDrive's
-    # side/lane-line detectors + gate state; exact channels live outside the
-    # reference repo — SURVEY.md §2.2)
-    obs_extra_kind: str = "zeros"
+    # --- boundary detectors (MetaDrive 0.2.5 StateObservation.vehicle_state:
+    #     when side_detector / lane_line_detector lasers are configured, the
+    #     detector cloud points REPLACE the 2 boundary-distance dims at the
+    #     START of the ego block and the 1 lane-offset dim at its END.
+    #     Bottleneck 96 = [side 4 | core 6 | lane-line 4 | navi 10 | lidar 72];
+    #     tollgate 156 = [side 72 | core 6 | lane-line 5 | lidar 72 | toll 1]
+    #     with NO navi block (TollGateStateObservation drops navigation on the
+    #     straight toll road). Layouts recovered from the shipped npz
+    #     first-layer weight-norm block structure.) ---
+    side_detector_lasers: int = 0
+    side_detector_distance: float = 50.0
+    lane_line_lasers: int = 0
+    lane_line_distance: float = 20.0
+    navi_in_obs: bool = True
+    # --- tollgate stop-and-wait (MetaDrive marl_tollgate semantics: the
+    #     vehicle must stay inside the gate under the block speed limit for
+    #     `min_pass_time` steps before the gate "opens"; the toll obs dim
+    #     reads -1 unpaid-or-overspeeding / +1 paid inside the gate, 0
+    #     outside; running the gate unpaid = hitting the boom barrier =
+    #     crash) ---
+    toll_obs: bool = False
+    toll_min_pass_time: int = 30
     # scenes may define a special zone (tollgate plaza / bottleneck throat)
-    # with a speed limit; > 0 enables overspeed penalty inside the zone
+    # with a speed limit; > 0 enables the overspeed penalty inside the zone
+    # (MetaDrive: overspeed cancels the speed reward and charges
+    # overspeed_penalty * speed / max_speed instead)
     zone_speed_limit: float = 0.0
     overspeed_penalty: float = 0.0
 
@@ -165,8 +182,15 @@ class EnvConfig:
 
     @property
     def base_obs_dim(self) -> int:
-        """Observation dim before the optional LCF slot: ego(9)+navi(10)+lidar."""
-        return 9 + 10 + self.lidar_num_lasers + 4 * self.lidar_num_others + self.obs_extra_dim
+        """Observation dim before the optional LCF slot."""
+        edge = self.side_detector_lasers if self.side_detector_lasers > 0 else 2
+        lane = self.lane_line_lasers if self.lane_line_lasers > 0 else 1
+        d = edge + 6 + lane + self.lidar_num_lasers + 4 * self.lidar_num_others
+        if self.navi_in_obs:
+            d += 10
+        if self.toll_obs:
+            d += 1
+        return d
 
     @property
     def obs_dim(self) -> int:

@@ -58,6 +58,7 @@ class EnvState:
     ep_cost: jnp.ndarray      # (N,) float32 accumulated cost since spawn
     lcf: jnp.ndarray          # (N,) float32 in [-1, 1]
     in_contact: jnp.ndarray   # (N,) bool — was touching another body last step
+    toll_time: jnp.ndarray    # (N,) int32 steps spent inside the gate zone
     comm_msg: jnp.ndarray     # (N, comm_size | 1 dummy) last broadcast message
     comm_valid: jnp.ndarray   # (N,) bool — slot broadcast a message this step
 
@@ -233,6 +234,7 @@ def _respawn(scene: SceneData, cfg: EnvConfig, state: EnvState, params: EnvParam
             ep_cost=sel(jnp.zeros((N,)), state.ep_cost),
             lcf=sel(new_lcf, state.lcf),
             in_contact=state.in_contact & ~will_spawn,
+            toll_time=sel(jnp.zeros((N,), jnp.int32), state.toll_time),
             comm_msg=sel(jnp.zeros_like(state.comm_msg), state.comm_msg),
             comm_valid=state.comm_valid & ~will_spawn,
         )
@@ -250,6 +252,7 @@ def _empty_state(cfg: EnvConfig, key) -> EnvState:
             uid=jnp.full((N,), -1, jnp.int32), next_uid=jnp.int32(0),
             steps=zi, ep_reward=zf, ep_nei_reward=zf, ep_cost=zf, lcf=zf,
             in_contact=jnp.zeros((N,), bool),
+            toll_time=zi,
             # 1-wide dummy when comm is off (orbax rejects zero-size arrays)
             comm_msg=jnp.zeros(
                 (N, cfg.comm_size if cfg.comm_method != "none" else 1)
@@ -271,7 +274,7 @@ def observe(scene: SceneData, cfg: EnvConfig, state: EnvState):
             lateral=state.lateral, lane_heading=state.lane_heading,
             lidar_block=lidar, lcf=state.lcf,
             t=state.t, comm_msg=state.comm_msg, comm_valid=state.comm_valid,
-            present=state.present,
+            present=state.present, toll_time=state.toll_time,
         )
 
 def engine_reset(scene: SceneData, cfg: EnvConfig, key, params: EnvParams,
@@ -367,6 +370,24 @@ def engine_step(scene: SceneData, cfg: EnvConfig, state: EnvState, actions,
         s_new = jnp.where(alive0, s_new, state.s)
         progress = jnp.where(alive0, s_new - state.s, 0.0)
 
+        # --- tollgate stop-and-wait (cfg.toll_obs; see EnvConfig) ---
+        in_z = obs_in_zone(scene, pos)
+        toll_time = jnp.where(
+            alive0 & in_z, state.toll_time + 1, jnp.int32(0)
+        )
+        ran_gate = jnp.zeros_like(alive0)
+        if cfg.toll_obs:
+            # leaving the gate unpaid = hitting the boom barrier (counts as
+            # a crash; under crash_done it terminates). Direction-agnostic:
+            # with reverse disabled a vehicle can only leave the zone
+            # forward, so any unpaid zone exit is a gate run.
+            was_in = obs_in_zone(scene, state.pos)
+            paid = state.toll_time >= cfg.toll_min_pass_time
+            ran_gate = alive0 & was_in & ~in_z & ~paid
+
+        crash = crash | ran_gate
+        crash_onset = crash_onset | ran_gate
+
         # --- events ---
         left_w = scene.route_left_width[state.route, wp_idx]
         right_w = scene.route_right_width[state.route, wp_idx]
@@ -378,7 +399,7 @@ def engine_step(scene: SceneData, cfg: EnvConfig, state: EnvState, actions,
         route_len = scene.route_len[state.route]
         # arrive_dest is independent of the out-of-road flag (MetaDrive's
         # done_function checks arrive first; reaching the destination wins)
-        arrive = alive0 & (s_new >= route_len - 2.0)
+        arrive = alive0 & (s_new >= route_len - 2.0) & ~ran_gate
         out_of_road &= ~arrive
 
         steps_new = state.steps + alive0.astype(jnp.int32)
@@ -400,16 +421,19 @@ def engine_step(scene: SceneData, cfg: EnvConfig, state: EnvState, actions,
             1.0,
         )
         dense = cfg.driving_reward * progress * lat_factor
-        dense = dense + cfg.speed_reward * speed / cfg.max_speed * alive0
         if cfg.zone_speed_limit > 0.0:
-            # tollgate-style in-zone speed limit (MetaDrive block speed limit
-            # shaping; calibrated equivalent — exact form lives outside the
-            # reference repo)
-            over = jnp.maximum(speed - cfg.zone_speed_limit, 0.0)
-            in_z = obs_in_zone(scene, pos)
-            dense = dense - cfg.overspeed_penalty * (
-                over / cfg.zone_speed_limit
-            ) * in_z * alive0
+            # MetaDrive tollgate reward: overspeeding inside the gate zone
+            # CANCELS the speed reward and charges
+            # overspeed_penalty * speed / max_speed instead
+            overspeed = in_z & (speed > cfg.zone_speed_limit)
+            speed_term = jnp.where(
+                overspeed,
+                -cfg.overspeed_penalty * speed / cfg.max_speed,
+                cfg.speed_reward * speed / cfg.max_speed,
+            )
+            dense = dense + speed_term * alive0
+        else:
+            dense = dense + cfg.speed_reward * speed / cfg.max_speed * alive0
         # crash penalty applies on contact onset (Bullet separates bodies, so
         # sustained-contact steps do not re-trigger crash_vehicle); with
         # crash_done the agent is removed the same step anyway
@@ -492,6 +516,7 @@ def engine_step(scene: SceneData, cfg: EnvConfig, state: EnvState, actions,
             lateral=jnp.where(alive0, lateral, state.lateral),
             lane_heading=jnp.where(alive0, lane_heading, state.lane_heading),
             alive=alive1, dead_timer=dead_timer, in_contact=crash_body,
+            toll_time=toll_time,
             steps=steps_new, ep_reward=ep_reward, ep_nei_reward=ep_nei_reward,
             ep_cost=ep_cost, t=t_new, key=key,
             epi_arrive=epi_arrive, epi_crash=epi_crash, epi_out=epi_out,

@@ -83,6 +83,22 @@ def hermite(p0, d0, p1, d1, n: int = 16) -> np.ndarray:
     return (h00 * p0 + h10 * m0 + h01 * p1 + h11 * m1).astype(np.float32)
 
 
+def arclen(points: np.ndarray) -> float:
+    """Total arc length of a polyline."""
+    seg = np.diff(np.asarray(points, np.float64), axis=0)
+    return float(np.linalg.norm(seg, axis=1).sum())
+
+
+def cum_boundaries(*parts: np.ndarray) -> list:
+    """Cumulative end-arclengths of consecutive polyline pieces (the
+    navigation checkpoint positions at segment joins)."""
+    out, acc = [], 0.0
+    for part in parts:
+        acc += arclen(part)
+        out.append(acc)
+    return out
+
+
 def join_polylines(*parts: np.ndarray) -> np.ndarray:
     """Concatenate polyline parts, dropping duplicated joints."""
     out = [np.asarray(parts[0], dtype=np.float32)]

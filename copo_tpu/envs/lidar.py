@@ -88,8 +88,12 @@ def _ring_dft_mats(A: int, L: int):
     w[0] = 1.0 / A
     if A % 2 == 0:
         w[-1] = 1.0 / A
-    ICK = w * np.cos(2 * np.pi * m * (k * c) / A)        # (M, L) inverse cos
-    ISK = w * np.sin(2 * np.pi * m * (k * c) / A)        # (M, L) inverse sin
+    # CLOCKWISE ring: y[k] = row[(s - k*c) mod A] — beam 0 dead ahead,
+    # beam 1 to the RIGHT, matching `beam_angles` (MetaDrive uses one
+    # perceive() for lidar and the side/lane-line detectors, so all rings
+    # share the clockwise-from-heading order the r3 cross-eval established)
+    ICK = w * np.cos(2 * np.pi * m * (-k * c) / A)       # (M, L) inverse cos
+    ISK = w * np.sin(2 * np.pi * m * (-k * c) / A)       # (M, L) inverse sin
     # numpy (not jnp): device constants created inside a trace would leak
     # tracers out through the cache.
     f32 = lambda x: np.asarray(x, dtype=np.float32)
@@ -100,7 +104,8 @@ def _ring_resample_dft(row, base, L: int):
     """y[k] = lerp-sampled row at bin (base + k*A/L), k=0..L-1, A%L == 0.
 
     `row` (..., A) are field values at the A uniform angle bins; `base` (...,)
-    is the fractional bin coordinate of beam 0. Exact linear interpolation
+    is the fractional bin coordinate of beam 0; beams step CLOCKWISE
+    (descending bins). Exact linear interpolation
     (identical to per-beam two-point lerp up to f32 rounding): the shared
     fraction is folded into `blended`, then the integer shift is applied as a
     Fourier phase rotation. All matmuls use HIGHEST precision — the matrices
@@ -145,14 +150,14 @@ def sample_field(scene: SceneData, pos, ang, cap):
 
 
 def sample_field_ring(scene: SceneData, pos, heading, num_beams: int, cap):
-    """Sample a uniform `num_beams` ring starting at `heading` (..., beams)."""
+    """Sample a uniform `num_beams` CLOCKWISE ring from `heading` (..., beams)."""
     A = scene.lidar_field.shape[2]
     if A % num_beams == 0:
         row = _field_rows(scene, pos)
         base = heading / (2.0 * jnp.pi) * A                       # (...,)
         return jnp.minimum(_ring_resample_dft(row, base, num_beams), cap)
     rel = 2.0 * jnp.pi * jnp.arange(num_beams, dtype=jnp.float32) / num_beams
-    return sample_field(scene, pos, heading[..., None] + rel, cap)
+    return sample_field(scene, pos, heading[..., None] - rel, cap)
 
 
 def static_lidar(scene: SceneData, cfg: EnvConfig, pos, heading):
@@ -161,15 +166,24 @@ def static_lidar(scene: SceneData, cfg: EnvConfig, pos, heading):
                              cfg.lidar_distance)
 
 
-def static_detector(scene: SceneData, cfg: EnvConfig, pos, heading, num_beams: int):
+def static_detector(scene: SceneData, cfg: EnvConfig, pos, heading,
+                    num_beams: int, distance: float | None = None):
     """Normalized static-obstacle detector ring with an arbitrary beam count.
 
     Our equivalent of MetaDrive's side/lane-line detectors (static geometry
-    only, no vehicles — matching their semantics of sensing road boundaries
-    and booth walls). Returns (..., num_beams) in [0, 1]; 1 = clear.
+    only, no vehicles — their semantics of sensing road boundaries and booth
+    walls; the scene's field must be baked with lidar_range >= distance).
+    Returns (..., num_beams) in [0, 1]; 1 = clear at `distance`.
     """
-    d = sample_field_ring(scene, pos, heading, num_beams, cfg.lidar_distance)
-    return jnp.clip(d / cfg.lidar_distance, 0.0, 1.0)
+    distance = cfg.lidar_distance if distance is None else distance
+    # Detector rings start at heading - 90deg (first beam to the RIGHT),
+    # stepping clockwise — decoded from the shipped bottleneck policy's
+    # steering-gradient signature: its position-0 input behaves like the
+    # right-side distance and position-2 like the left-side distance
+    # (matching the intersection policy's edgeR/edgeL signatures).
+    d = sample_field_ring(scene, pos, heading - 0.5 * jnp.pi, num_beams,
+                          distance)
+    return jnp.clip(d / distance, 0.0, 1.0)
 
 
 def vehicle_lidar(cfg: EnvConfig, pos, heading, present):

@@ -42,10 +42,6 @@ from copo_tpu.envs.lidar import static_detector
 from copo_tpu.envs.routing import route_point_at
 from copo_tpu.envs.scene import SceneData
 
-#: lookahead arc lengths of the two navigation checkpoints
-NAVI_LOOKAHEAD = (20.0, 40.0)
-
-
 def _to01(x):
     """Map a [-1, 1]-clipped value to [0, 1]."""
     return 0.5 * (jnp.clip(x, -1.0, 1.0) + 1.0)
@@ -54,43 +50,72 @@ def _to01(x):
 #: checkpoint projections saturate at this distance (MetaDrive NAVI_POINT_DIST)
 NAVI_POINT_DIST = 50.0
 
+#: curvature below this (radius > 50 m) counts as a straight lane for the
+#: navi bend dims (see navi_block)
+CURV_EPS = 0.02
+
 
 def navi_block(scene: SceneData, cfg: EnvConfig, pos, heading, route_idx, s):
-    """Navigation features (N, 10): two route checkpoints, MetaDrive encoding.
+    """Navigation features (N, 10): the next two route CHECKPOINTS,
+    MetaDrive encoding.
 
     Per checkpoint: [fwd projection, side projection (right-positive),
     bend radius, clockwise flag, bend angle] — the 0.2.5 Navigation
-    `get_navi_info` schema. The projection vector saturates in NORM at 50 m
-    (direction preserved), then each component maps (x/50+1)/2. Checkpoints
-    are +20/+40 m route lookaheads (documented deviation: MetaDrive uses
-    block-boundary nodes; fixed lookaheads carry the same lane-following/turn
-    information with static shapes). Chirality (right-positive side, clockwise
-    flag) picked by cross-evaluating the reference's shipped npz policies —
-    the combination under which they drive best.
+    `get_navi_info` schema. Checkpoints are the scene's segment-boundary
+    nodes (SceneData.route_ckpt_s), matching MetaDrive's road-block boundary
+    navigation: a FIXED next checkpoint provides heading feedback that a
+    route-following constant-lookahead point absorbs (r4 diagnosis: on the
+    bottleneck funnel the lookahead tracked the vehicle's drift and the
+    shipped policies never received a correction signal). The projection
+    vector saturates in NORM at 50 m (direction preserved), then each
+    component maps (x/50+1)/2. Bend dims describe the segment being
+    traversed TOWARD each checkpoint (curvature probed at its midpoint),
+    encoded as MetaDrive encodes CircularLane/StraightLane checkpoints.
+    Chirality (right-positive side, clockwise flag) picked by
+    cross-evaluating the reference's shipped npz policies.
     """
-    route_len = scene.route_len[route_idx]
+    ck_tab = scene.route_ckpt_s[route_idx]                   # (..., C)
+    C = ck_tab.shape[-1]
+    ahead = ck_tab > (s + 2.0)[..., None]
+    idx1 = jnp.argmax(ahead, axis=-1)
+    idx1 = jnp.where(jnp.any(ahead, axis=-1), idx1, C - 1)
+    idx2 = jnp.minimum(idx1 + 1, C - 1)
+    ck1_s = jnp.take_along_axis(ck_tab, idx1[..., None], -1)[..., 0]
+    ck2_s = jnp.take_along_axis(ck_tab, idx2[..., None], -1)[..., 0]
+
     feats = []
     cos_h, sin_h = jnp.cos(heading), jnp.sin(heading)
-    for ahead in NAVI_LOOKAHEAD:
-        s_ck = jnp.minimum(s + ahead, route_len)
-        ck_pos, ck_heading, curv = route_point_at(scene, route_idx, s_ck)
+    for ck_s, prev_s in ((ck1_s, s), (ck2_s, ck1_s)):
+        ck_pos, _, _ = route_point_at(scene, route_idx, ck_s)
+        _, _, curv = route_point_at(
+            scene, route_idx, 0.5 * (prev_s + ck_s)
+        )
         rel = ck_pos - pos
         fwd = rel[..., 0] * cos_h + rel[..., 1] * sin_h
         left = -rel[..., 0] * sin_h + rel[..., 1] * cos_h
         nrm = jnp.sqrt(jnp.maximum(fwd * fwd + left * left, 1e-9))
         sat = jnp.where(nrm > NAVI_POINT_DIST, NAVI_POINT_DIST / nrm, 1.0)
-        radius = jnp.where(
-            jnp.abs(curv) > 1e-3, 1.0 / jnp.maximum(jnp.abs(curv), 1e-3), 0.0
-        )
+        # Bend dims fire only for REAL turns (radius < 1/CURV_EPS = 50 m —
+        # junction arcs and the roundabout ring qualify; lane tapers and
+        # resampling noise do not). MetaDrive's checkpoint lane is either a
+        # CircularLane (radius/direction/angle set) or a StraightLane
+        # (0 / 0.5 / 0.5 after encoding); a raw sign(curv) saturates on
+        # polyline noise and read the bottleneck funnel as a hard left turn,
+        # which the shipped policies dutifully steered into (r4 diagnosis).
+        is_turn = jnp.abs(curv) > CURV_EPS
+        radius = jnp.where(is_turn, 1.0 / jnp.maximum(jnp.abs(curv), 1e-3), 0.0)
+        turn_sign = jnp.where(is_turn, jnp.sign(curv), 0.0)
         feats += [
             _to01(fwd * sat / NAVI_POINT_DIST),
             _to01(-left * sat / NAVI_POINT_DIST),       # right-positive
             jnp.clip(radius / 100.0, 0.0, 1.0),
-            _to01(-jnp.sign(curv)),                     # 1 = clockwise turn
+            _to01(-turn_sign),                          # 1 = clockwise turn
             # bend-angle magnitude through the (x+1)/2 map: MetaDrive 0.2.5
             # encodes the block sweep angle as clip((deg/angle_max+1)/2), so
             # straight lanes read 0.5 (not 0) and bends rise toward 1
-            _to01(jnp.clip(jnp.abs(curv) * 30.0 / jnp.pi, 0.0, 1.0)),
+            _to01(jnp.where(is_turn,
+                            jnp.clip(jnp.abs(curv) * 30.0 / jnp.pi, 0.0, 1.0),
+                            0.0)),
         ]
     return jnp.stack(feats, axis=-1)
 
@@ -116,6 +141,36 @@ def lane_snapped_lateral(lateral, left_w, right_w, lane_width):
     return lateral - k * lane_width
 
 
+def lane_line_block(cfg: EnvConfig, lat_lane, heading, lane_heading,
+                    num_beams: int, distance: float):
+    """Analytic lane-LINE detector ring (..., num_beams), 1 = clear.
+
+    MetaDrive's lane_line_detector raycasts against the PAINTED lane lines
+    (the broken white lines between lanes and the continuous yellow/white
+    edges), not the physical walls — on a multi-lane road its side beams
+    read the ~half-lane distance to the adjacent line. Model: the two
+    nearest lines are the current lane's boundaries, parallel to the lane at
+    +-lane_width/2 around the lane center; a beam at relative angle psi hits
+    the left line at gap_l/sin(psi) (sin psi > 0) or the right line at
+    gap_r/-sin(psi). Ring order matches the side detector: first beam to the
+    RIGHT of heading, stepping clockwise (decoded from the shipped policies'
+    steering-gradient signatures).
+    """
+    rel = 0.5 * jnp.pi + 2.0 * jnp.pi * jnp.arange(
+        num_beams, dtype=jnp.float32) / num_beams
+    psi = (heading - lane_heading)[..., None] - rel               # (..., B)
+    sin_psi = jnp.sin(psi)
+    gap_l = jnp.maximum(0.5 * cfg.lane_width - lat_lane, 0.0)[..., None]
+    gap_r = jnp.maximum(0.5 * cfg.lane_width + lat_lane, 0.0)[..., None]
+    eps = 1e-3
+    d = jnp.where(
+        sin_psi > eps, gap_l / jnp.maximum(sin_psi, eps),
+        jnp.where(sin_psi < -eps, gap_r / jnp.maximum(-sin_psi, eps),
+                  distance),
+    )
+    return jnp.clip(d / distance, 0.0, 1.0)
+
+
 def in_zone(scene: SceneData, pos):
     """Bool (...,): inside the scene's special zone (all-zeros zone = never)."""
     z = scene.zone
@@ -125,20 +180,6 @@ def in_zone(scene: SceneData, pos):
         & (pos[..., 1] >= z[2]) & (pos[..., 1] <= z[3])
     )
     return inside & has_zone
-
-
-def extras_block(scene: SceneData, cfg: EnvConfig, pos, heading):
-    """Scene-specific obs block (..., obs_extra_dim).
-
-    "detector": (obs_extra_dim-1) static-obstacle beams + in-zone flag — our
-    information-equivalent of MetaDrive's side/lane-line detectors and gate
-    state (exact channels live outside the reference repo; SURVEY.md §2.2).
-    """
-    if cfg.obs_extra_kind == "detector" and cfg.obs_extra_dim >= 2:
-        det = static_detector(scene, cfg, pos, heading, cfg.obs_extra_dim - 1)
-        flag = in_zone(scene, pos).astype(jnp.float32)[..., None]
-        return jnp.concatenate([det, flag], axis=-1)
-    return jnp.zeros(pos.shape[:-1] + (cfg.obs_extra_dim,), dtype=jnp.float32)
 
 
 def traffic_light_block(scene: SceneData, cfg: EnvConfig, pos, t):
@@ -237,7 +278,7 @@ def nearest_others_block(cfg: EnvConfig, pos, heading, speed, present):
 def build_obs(scene: SceneData, cfg: EnvConfig, *, pos, heading, speed, steering,
               yaw_rate, last_action, route_idx, waypoint_idx, s, lateral,
               lane_heading, lidar_block, lcf, t=None, comm_msg=None,
-              comm_valid=None, present=None):
+              comm_valid=None, present=None, toll_time=None):
     """Assemble the full observation (N, cfg.obs_dim). Inputs are per-slot."""
     left_w = scene.route_left_width[route_idx, waypoint_idx]
     right_w = scene.route_right_width[route_idx, waypoint_idx]
@@ -257,10 +298,11 @@ def build_obs(scene: SceneData, cfg: EnvConfig, *, pos, heading, speed, steering
     # lane-offset dim reads against the lane the vehicle is IN (MetaDrive
     # `vehicle.lane.local_coordinates`), not the assigned route centerline
     lat_lane = lane_snapped_lateral(lateral, left_w, right_w, cfg.lane_width)
-    ego = jnp.stack(
+    # ego CORE block (MetaDrive vehicle_state middle scalars; the boundary /
+    # lane-offset dims around it are replaced by detector rings when the
+    # scene configures them — see EnvConfig detector comments)
+    core = jnp.stack(
         [
-            jnp.clip((left_w - lateral) / total_w, 0.0, 1.0),
-            jnp.clip((right_w + lateral) / total_w, 0.0, 1.0),
             _to01(-jnp.sin(heading_err)),
             jnp.clip(
                 (speed_kmh + 1.0)
@@ -271,19 +313,46 @@ def build_obs(scene: SceneData, cfg: EnvConfig, *, pos, heading, speed, steering
             _to01(last_action[..., 0]),
             _to01(last_action[..., 1]),
             jnp.clip(jnp.abs(yaw_rate), 0.0, 1.0),
-            _to01(2.0 * lat_lane / cfg.lane_width),
         ],
         axis=-1,
     )
-    navi = navi_block(scene, cfg, pos, heading, route_idx, s)
+    if cfg.side_detector_lasers > 0:
+        edge = static_detector(scene, cfg, pos, heading,
+                               cfg.side_detector_lasers,
+                               cfg.side_detector_distance)
+    else:
+        edge = jnp.stack(
+            [
+                jnp.clip((left_w - lateral) / total_w, 0.0, 1.0),
+                jnp.clip((right_w + lateral) / total_w, 0.0, 1.0),
+            ],
+            axis=-1,
+        )
+    if cfg.lane_line_lasers > 0:
+        lane_blk = lane_line_block(cfg, lat_lane, heading, lane_heading,
+                                   cfg.lane_line_lasers,
+                                   cfg.lane_line_distance)
+    else:
+        lane_blk = _to01(2.0 * lat_lane / cfg.lane_width)[..., None]
 
-    parts = [ego, navi, lidar_block]
+    parts = [edge, core, lane_blk]
+    if cfg.navi_in_obs:
+        parts.append(navi_block(scene, cfg, pos, heading, route_idx, s))
+    parts.append(lidar_block)
     if cfg.lidar_num_others > 0:
         others = present if present is not None \
             else jnp.ones(pos.shape[:-1], dtype=bool)
         parts.append(nearest_others_block(cfg, pos, heading, speed, others))
-    if cfg.obs_extra_dim > 0:
-        parts.append(extras_block(scene, cfg, pos, heading))
+    if cfg.toll_obs:
+        # gate-state dim (TollGateObservation.observe): 0 outside the gate,
+        # -1 inside unpaid or overspeeding, +1 inside once paid
+        inz = in_zone(scene, pos)
+        paid = toll_time >= cfg.toll_min_pass_time
+        over = speed > cfg.zone_speed_limit
+        flag = jnp.where(
+            inz, jnp.where(paid & ~over, 1.0, -1.0), 0.0
+        ).astype(jnp.float32)
+        parts.append(flag[..., None])
     if cfg.add_traffic_light:
         parts.append(traffic_light_block(scene, cfg, pos, t))
     if cfg.lcf_enabled:

@@ -48,6 +48,12 @@ class SceneData:
     # B=512: 2.9 of 7.9 ms).
     route_win: jnp.ndarray          # (R, P, WINDOW_SIZE+1, 2)
 
+    # --- navigation checkpoints (MetaDrive navigates via road-BLOCK
+    #     boundary nodes: the first dims of the navi block project the next
+    #     two checkpoints into the ego frame; (R, C) arc lengths per route,
+    #     padded with route_len) ---
+    route_ckpt_s: jnp.ndarray    # (R, C)
+
     # --- spawn points (destination == end of assigned route) ---
     spawn_xy: jnp.ndarray        # (S, 2) physical spawn location
     spawn_heading: jnp.ndarray   # (S,) initial heading
@@ -90,9 +96,12 @@ class SceneBuildSpec:
     """
 
     routes: list            # list of (Ki, 2) polylines (raw, any spacing)
-    # Per route: float (symmetric), (left, right) tuple, or a piecewise
+    # Per route: float (symmetric), (left, right) tuple, a piecewise
     # profile [(s_start, left, right), ...] (sorted by s_start; the entry
-    # active at arc length s defines the corridor there). The compiled
+    # active at arc length s defines the corridor there), or a callable
+    # prof(s (K,), xy (K, 2)) -> (cl (K,), cr (K,)) for corridors bounded by
+    # ABSOLUTE geometry (e.g. a yellow line at fixed world y while the
+    # route centerline migrates across lanes). The compiled
     # corridor is additionally clamped to the physical walls minus a
     # half-vehicle margin (MetaDrive semantics: crossing a yellow line /
     # leaving the lane set = out_of_road, hitting a sidewalk = crash_sidewalk
@@ -105,6 +114,10 @@ class SceneBuildSpec:
     lidar_angles: int = 72
     lidar_range: float = 40.0
     zone: tuple | None = None    # (xmin, xmax, ymin, ymax) special scene zone
+    # Per-route navigation checkpoint arc lengths (segment-boundary nodes,
+    # ascending; the route end is appended automatically). None = a single
+    # checkpoint at the route end.
+    checkpoints: list | None = None
     # Clearance kept between the vehicle center and a physical wall before
     # out-of-road fires. NEGATIVE extends the drivable corridor past the
     # wall face: MetaDrive ejects on BODY-sidewalk contact (crash_sidewalk),
@@ -154,6 +167,21 @@ def compile_scene(spec: SceneBuildSpec) -> SceneData:
             spawn_routes[i, j] = ri
             spawn_route_s[i, j] = sj
 
+    # navigation checkpoint table, padded with route_len
+    R = len(resampled)
+    cks = []
+    for i in range(R):
+        base = list(spec.checkpoints[i]) if spec.checkpoints else []
+        if not base or base[-1] < route_len[i] - 1.0:
+            base.append(float(route_len[i]))
+        cks.append(base)
+    C = max(len(c) for c in cks)
+    ckpt_s = np.zeros((R, C), np.float32)
+    for i, c in enumerate(cks):
+        ckpt_s[i, :len(c)] = c
+        ckpt_s[i, len(c):] = route_len[i]
+    ckpt_s = np.minimum(ckpt_s, route_len[:, None])
+
     # per-waypoint corridor widths: configured profile ANDed with the
     # perpendicular wall raycast. Two tables: road-edge distances (obs) and
     # ejection bounds (road edge + body-contact slack).
@@ -165,7 +193,11 @@ def compile_scene(spec: SceneBuildSpec) -> SceneData:
     for i, r in enumerate(resampled):
         prof = spec.half_widths[i]
         s = np.arange(len(r)) * geo.WAYPOINT_SPACING
-        if isinstance(prof, (int, float)):
+        if callable(prof):
+            cl, cr = prof(s, r)
+            cl = np.asarray(cl, np.float64)
+            cr = np.asarray(cr, np.float64)
+        elif isinstance(prof, (int, float)):
             cl = np.full(len(r), float(prof))
             cr = np.full(len(r), float(prof))
         elif isinstance(prof, (tuple, list)) and len(prof) == 2 \
@@ -215,6 +247,7 @@ def compile_scene(spec: SceneBuildSpec) -> SceneData:
         route_left_width=jnp.asarray(lw), route_right_width=jnp.asarray(rw),
         route_left_bound=jnp.asarray(lb), route_right_bound=jnp.asarray(rb),
         route_win=jnp.asarray(route_win),
+        route_ckpt_s=jnp.asarray(ckpt_s),
         spawn_xy=jnp.asarray(spawn_xy),
         spawn_heading=jnp.asarray(spawn_heading),
         spawn_routes=jnp.asarray(spawn_routes),

@@ -1,11 +1,22 @@
 """Bottleneck scene (TPU-native MultiAgentBottleneckEnv).
 
-Reference: `MultiAgentBottleneckEnv` (metadrive 0.2.5), 20 agents, obs 96 =
-91 + 5 scene extras (SURVEY.md §2.2 npz shapes). A one-directional 4-lane
-road funnels into 2 lanes and expands back; agents must negotiate the merge.
-The 5 extra obs dims are a static-detector block: 4 side-detector beams +
-1 in-throat flag (information-equivalent of MetaDrive's side-detector
-channels, whose exact semantics live outside the reference repo).
+Reference: `MultiAgentBottleneckEnv` (metadrive 0.2.5), 20 agents, obs 96
+(SURVEY.md §2.2 npz shapes). A BIDIRECTIONAL road — MetaDrive's spawn_roads
+include the negative counterpart road — with 4 lanes per direction
+(map_config bottle_lane_num=4) funnelling into ONE neck lane per direction
+(neck_lane_num=1, neck_length=20) adjacent to the yellow center line, then
+expanding back. Each direction's 4-lane stream must single-file through its
+neck while oncoming traffic runs on the other side of the line — the reason
+the reference's success band is only 15-60%, and why its shipped policies
+merge LEFT toward the line on spawn (cross-eval-diagnosed r4: on a
+one-directional variant with a center neck they dove straight into the left
+wall).
+
+Obs layout: [side-detector 4 | ego core 6 | lane-line detector 4 | navi 10 |
+lidar 72] = 96 — MetaDrive's vehicle_config side_detector(num_lasers=4,
+distance=50) + lane_line_detector(num_lasers=4, distance=20) REPLACE the two
+boundary dims / the lane-offset dim (layout confirmed by the shipped npz
+first-layer weight-norm block structure).
 """
 
 from __future__ import annotations
@@ -17,28 +28,40 @@ from copo_tpu.envs.config import EnvConfig
 from copo_tpu.envs.scene import SceneBuildSpec, compile_scene
 
 LANE_W = 3.5
-ENTRY_LANES = (-5.25, -1.75, 1.75, 5.25)   # 4 entry lane offsets
-NARROW_LANES = (-1.75, 1.75)               # 2 lanes in the bottleneck
-X_ENTRY_END = 50.0
-X_NARROW_START = 70.0
-X_NARROW_END = 110.0
-X_EXPAND_END = 130.0
+#: per-direction entry lane offsets (+x direction, right-hand traffic:
+#: lanes at negative y, leftmost = adjacent to the yellow line at y=0)
+ENTRY_LANES = (-1.75, -5.25, -8.75, -12.25)
+NECK_Y = -1.75                 # the single neck lane hugs the yellow line
+ROAD_HW = 4 * LANE_W           # 14: each direction spans y in (0, -14)
+X_ENTRY_END = 40.0
+X_NARROW_START = 80.0          # 40 m funnel: a <=15deg merge path
+X_NARROW_END = 100.0           # neck_length = 20 (MetaDrive)
+X_EXPAND_END = 140.0
 X_EXIT_END = 185.0
 
 
 def _route(lane_idx: int):
+    """+x-direction route from entry lane through the neck and back."""
     y_in = ENTRY_LANES[lane_idx]
-    y_mid = NARROW_LANES[0] if y_in < 0 else NARROW_LANES[1]
     entry = geo.straight((0.0, y_in), (X_ENTRY_END, y_in))
-    funnel = geo.hermite((X_ENTRY_END, y_in), (1, 0), (X_NARROW_START, y_mid), (1, 0), n=16)
-    narrow = geo.straight((X_NARROW_START, y_mid), (X_NARROW_END, y_mid))
-    expand = geo.hermite((X_NARROW_END, y_mid), (1, 0), (X_EXPAND_END, y_in), (1, 0), n=16)
+    funnel = geo.hermite((X_ENTRY_END, y_in), (1, 0), (X_NARROW_START, NECK_Y), (1, 0), n=16)
+    narrow = geo.straight((X_NARROW_START, NECK_Y), (X_NARROW_END, NECK_Y))
+    expand = geo.hermite((X_NARROW_END, NECK_Y), (1, 0), (X_EXPAND_END, y_in), (1, 0), n=16)
     exit_ = geo.straight((X_EXPAND_END, y_in), (X_EXIT_END, y_in))
-    return geo.join_polylines(entry, funnel, narrow, expand, exit_)
+    poly = geo.join_polylines(entry, funnel, narrow, expand, exit_)
+    return poly, geo.cum_boundaries(entry, funnel, narrow, expand, exit_)
+
+
+def _mirror(poly: np.ndarray) -> np.ndarray:
+    """Map a +x-direction polyline to the oncoming (-x) direction."""
+    out = np.asarray(poly, np.float32).copy()
+    out[:, 0] = X_EXIT_END - out[:, 0]
+    out[:, 1] = -out[:, 1]
+    return out
 
 
 def _walls():
-    wide, nar = 7.0, 3.5
+    wide, nar = ROAD_HW, LANE_W  # outer edge; neck outer walls at |y|=3.5
     def edge(sign):
         pts = np.array([
             (0.0, sign * wide),
@@ -57,24 +80,45 @@ def _walls():
 def build_bottleneck(num_agents: int | None = None, **cfg_overrides):
     num_agents = 20 if num_agents is None else num_agents
 
-    routes = [_route(i) for i in range(4)]
-    # lateral sign: + = left of +x travel = +y; left width = to the +7 edge
-    half_widths = [(7.0 - y, 7.0 + y) for y in ENTRY_LANES]
+    routes, half_widths = [], []
+
+    def corridor(sign):
+        # Corridor bounded by the ABSOLUTE yellow line at y=0 on the left
+        # and the (tapering) walls on the right: left width = distance from
+        # the route centerline to the line wherever the centerline sits —
+        # route-relative constants ejected early lane-changers mid-road.
+        def prof(s, xy):
+            to_line = np.maximum(sign * -xy[:, 1], 0.5)
+            return to_line, np.full(len(xy), 2.0 * ROAD_HW)
+        return prof
+
+    checkpoints = []
+    for i in range(4):
+        fwd, cks = _route(i)
+        for sign, poly in ((1.0, fwd), (-1.0, _mirror(fwd))):
+            routes.append(poly)
+            half_widths.append(corridor(sign))
+            checkpoints.append(cks)
 
     spawns = []
     for i in range(4):
         for s0 in (4.0, 14.0, 24.0, 34.0, 44.0):
-            spawns.append([(i, s0)])
+            spawns.append([(2 * i, s0)])        # +x direction route
+            spawns.append([(2 * i + 1, s0)])    # -x direction route
 
-    cfg_overrides.setdefault("obs_extra_dim", 5)
-    cfg_overrides.setdefault("obs_extra_kind", "detector")
+    cfg_overrides.setdefault("side_detector_lasers", 4)
+    cfg_overrides.setdefault("side_detector_distance", 50.0)
+    cfg_overrides.setdefault("lane_line_lasers", 4)
+    cfg_overrides.setdefault("lane_line_distance", 20.0)
     spec = SceneBuildSpec(
         routes=routes,
         half_widths=half_widths,
         spawns=spawns,
         walls=_walls(),
-        bbox=(-5.0, X_EXIT_END + 5, -14.0, 14.0),
-        zone=(X_NARROW_START, X_NARROW_END, -3.5, 3.5),
+        bbox=(-5.0, X_EXIT_END + 5, -ROAD_HW - 4.0, ROAD_HW + 4.0),
+        zone=(X_NARROW_START, X_NARROW_END, -LANE_W, LANE_W),
+        checkpoints=checkpoints,
+        lidar_range=50.0,   # side-detector range (field bake cap)
     )
     scene = compile_scene(spec)
     cfg = EnvConfig(num_agents=num_agents, **cfg_overrides)

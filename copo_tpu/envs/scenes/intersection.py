@@ -68,19 +68,23 @@ def _east_arm_routes(n_lanes: int, BOX: float):
         entry = geo.straight((BOX + ARM, y0), (BOX, y0))
         for tag in turns:
             if tag == "straight":
-                rest = geo.straight((BOX, y0), (-BOX - ARM, y0))
-                poly = geo.join_polylines(entry, rest)
+                mid = geo.straight((BOX, y0), (-BOX, y0))
+                out = geo.straight((-BOX, y0), (-BOX - ARM, y0))
+                poly = geo.join_polylines(entry, mid, out)
+                cks = geo.cum_boundaries(entry, mid, out)
             elif tag == "right":
                 r = BOX - y0
                 turn = geo.arc((BOX, BOX), r, -np.pi / 2, -np.pi)
                 out = geo.straight((y0, BOX), (y0, BOX + ARM))
                 poly = geo.join_polylines(entry, turn, out)
+                cks = geo.cum_boundaries(entry, turn, out)
             else:  # left
                 r = y0 + BOX
                 turn = geo.arc((BOX, -BOX), r, np.pi / 2, np.pi)
                 out = geo.straight((-y0, -BOX), (-y0, -BOX - ARM))
                 poly = geo.join_polylines(entry, turn, out)
-            routes.append((poly, y0, tag))
+                cks = geo.cum_boundaries(entry, turn, out)
+            routes.append((poly, y0, tag, cks))
     return routes
 
 
@@ -114,12 +118,13 @@ def build_intersection(num_agents: int | None = None,
     road_hw = lane_num * LANE_W
     box = road_hw + CORNER_R
 
-    routes, half_widths = [], []
+    routes, half_widths, checkpoints = [], [], []
     lane_routes = {}  # (arm k, lane y0) -> route indices
     for k in range(4):
-        for poly, y0, tag in _east_arm_routes(lane_num, box):
+        for poly, y0, tag, cks in _east_arm_routes(lane_num, box):
             idx = len(routes)
             routes.append(_rot(poly, k))
+            checkpoints.append(cks)
             # left of travel = toward the road centerline (yellow line at
             # lateral y0); crossing it is out-of-road, MetaDrive
             # `on_yellow_continuous_line`. Right = own curb. Inside the
@@ -139,6 +144,7 @@ def build_intersection(num_agents: int | None = None,
         half_widths=half_widths,
         spawns=spawns,
         walls=_walls(road_hw, box),
+        checkpoints=checkpoints,
         bbox=(-(box + ARM + 5), box + ARM + 5, -(box + ARM + 5), box + ARM + 5),
     )
     scene = compile_scene(spec)

@@ -53,15 +53,17 @@ def _routes(park_ys, leave_ys):
         entry = geo.straight((UP_X, Y_IN - APPROACH), (UP_X, y - 8.0))
         swing = geo.hermite((UP_X, y - 8.0), (0, 1), p0, p1 - p0, n=18)
         bay = geo.straight(p0, p1)
-        routes.append(("park", geo.join_polylines(entry, swing, bay)))
+        routes.append(("park", geo.join_polylines(entry, swing, bay),
+                       geo.cum_boundaries(entry, swing, bay)))
     for y in leave_ys:
         q0, q1 = _leave_bay(y)
         bay = geo.straight(q1, q0)     # deep end -> mouth (heading up-inward)
         merge = geo.hermite(q0, q0 - q1, (UP_X, y + 8.0), (0, 1), n=18)
         out = geo.straight((UP_X, y + 8.0), (UP_X, Y_OUT + APPROACH))
-        routes.append(("leave", geo.join_polylines(bay, merge, out)))
-    routes.append(("through",
-                   geo.straight((UP_X, Y_IN - APPROACH), (UP_X, Y_OUT + APPROACH))))
+        routes.append(("leave", geo.join_polylines(bay, merge, out),
+                       geo.cum_boundaries(bay, merge, out)))
+    through = geo.straight((UP_X, Y_IN - APPROACH), (UP_X, Y_OUT + APPROACH))
+    routes.append(("through", through, [geo.arclen(through) / 2.0]))
     return routes
 
 
@@ -100,8 +102,9 @@ def build_parking(num_agents: int | None = None, parking_space_num: int = 8,
     leave_ys = [14.0 + 8.0 * i for i in range(n_side)]
 
     named = _routes(park_ys, leave_ys)
-    routes = [r for _, r in named]
-    tags = [t for t, _ in named]
+    routes = [r for _, r, _ in named]
+    tags = [t for t, _, _ in named]
+    checkpoints = [c for _, _, c in named]
     half_widths = [(6.0, 6.0)] * len(routes)  # lot breadth; walls shepherd bays
 
     park_idx = [i for i, t in enumerate(tags) if t == "park"]
@@ -126,6 +129,7 @@ def build_parking(num_agents: int | None = None, parking_space_num: int = 8,
         half_widths=half_widths,
         spawns=spawns,
         walls=_walls(park_ys, leave_ys),
+        checkpoints=checkpoints,
         bbox=(-(lot_hw + 4), lot_hw + 4, Y_IN - APPROACH - 4, Y_OUT + APPROACH + 4),
     )
     scene = compile_scene(spec)

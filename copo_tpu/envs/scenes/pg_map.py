@@ -23,9 +23,13 @@ NUM_BLOCKS = 5
 
 
 def _generate_centerline(seed: int):
-    """Seeded sequence of straight / arc blocks -> dense centerline."""
+    """Seeded sequence of straight / arc blocks -> dense centerline.
+
+    Returns (points, block_boundaries): cumulative arc lengths at block
+    joins (the navigation checkpoint nodes)."""
     rng = np.random.RandomState(seed)
     pts = [np.array([0.0, 0.0]), np.array([10.0, 0.0])]
+    boundaries = []
     heading = 0.0
     for _ in range(NUM_BLOCKS):
         kind = rng.choice(["straight", "curve"])
@@ -47,13 +51,15 @@ def _generate_centerline(seed: int):
                 a = a_start + angle * t
                 pts.append(center + radius * np.array([np.cos(a), np.sin(a)]))
             heading += angle
-    return np.array(pts, dtype=np.float64)
+        seg = np.diff(np.asarray(pts, np.float64), axis=0)
+        boundaries.append(float(np.linalg.norm(seg, axis=1).sum()))
+    return np.array(pts, dtype=np.float64), boundaries
 
 
 def build_pg_map(num_agents: int | None = None, map_seed: int = 0, **cfg_overrides):
     num_agents = 30 if num_agents is None else num_agents
 
-    center = _generate_centerline(map_seed)
+    center, block_bounds = _generate_centerline(map_seed)
     routes = [geo.offset_polyline(center, off) for off in LANES]
     half_widths = [(ROAD_HW - off, ROAD_HW + off) for off in LANES]
 
@@ -84,6 +90,7 @@ def build_pg_map(num_agents: int | None = None, map_seed: int = 0, **cfg_overrid
     )
     spec = SceneBuildSpec(
         routes=routes,
+        checkpoints=[list(block_bounds) for _ in routes],
         half_widths=half_widths,
         spawns=spawns,
         walls=walls,

@@ -70,7 +70,8 @@ def _arm_entry_route(exit_arm_offset: int, entry_lane: int = 0):
     blend = geo.hermite(ring_exit, ring_exit_tan * 1.5, p_exit_start, out_dir * 1.5, n=26)
     out = geo.straight(p_exit_start, p_exit_end)
 
-    return geo.join_polylines(entry, merge, ring, blend, out)
+    poly = geo.join_polylines(entry, merge, ring, blend, out)
+    return poly, geo.cum_boundaries(entry, merge, ring, blend, out)
 
 
 def _rot(points: np.ndarray, k: int) -> np.ndarray:
@@ -109,14 +110,16 @@ def _walls():
 def build_roundabout(num_agents: int | None = None, **cfg_overrides):
     num_agents = 40 if num_agents is None else num_agents
 
-    routes, half_widths = [], []
+    routes, half_widths, checkpoints = [], [], []
     lane_routes = {}
     for k in range(4):                       # entry arm
       for lane in (0, 1):                    # inner / outer entry lane
         for off in (1, 2, 3):                # exit arm offset (CCW quadrants)
             idx = len(routes)
-            poly = _rot(_arm_entry_route(off, lane), k)
+            poly, cks = _arm_entry_route(off, lane)
+            poly = _rot(poly, k)
             routes.append(poly)
+            checkpoints.append(cks)
             # piecewise corridor: on the two-way arms the yellow line
             # bounds the left side (entry lane offset y0; exits ride the
             # OUTER lane, yellow at 3w/2 left); on the ring the island /
@@ -144,6 +147,7 @@ def build_roundabout(num_agents: int | None = None, **cfg_overrides):
         spawns=spawns,
         walls=_walls(),
         bbox=(-ext, ext, -ext, ext),
+        checkpoints=checkpoints,
     )
     scene = compile_scene(spec)
     cfg = EnvConfig(num_agents=num_agents, **cfg_overrides)

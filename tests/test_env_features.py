@@ -75,17 +75,30 @@ def test_traffic_light_block_sawtooth():
     assert float(blk[:, 1:].min()) >= 0.0 and float(blk[:, 1:].max()) <= 1.0
 
 
-def test_detector_extras_filled_on_bottleneck_and_tollgate():
-    for name, extra in (("bottleneck", 5), ("tollgate", 65)):
-        scene, cfg = make_scene(name, num_agents=4)
-        assert cfg.obs_extra_dim == extra
-        assert cfg.obs_extra_kind == "detector"
-        eng = DrivingEngine(scene, cfg)
-        st, obs = eng.reset(jax.random.PRNGKey(0), EnvParams.default(4))
-        blk = np.asarray(obs[:, 19 + cfg.lidar_num_lasers:][:, :extra])
-        # detector beams see walls (not all clear) and stay in [0, 1]
-        assert blk.min() >= 0.0 and blk.max() <= 1.0
-        assert (blk[:, :-1] < 1.0).any(), f"{name}: no wall seen by detector"
+def test_detector_layouts_on_bottleneck_and_tollgate():
+    # MetaDrive detector layouts (see EnvConfig): bottleneck 96 =
+    # [side 4 | core 6 | lane-line 4 | navi 10 | lidar 72]; tollgate 156 =
+    # [side 72 | core 6 | lane-line 5 | lidar 72 | toll 1], no navi
+    scene, cfg = make_scene("bottleneck", num_agents=4)
+    assert (cfg.side_detector_lasers, cfg.lane_line_lasers) == (4, 4)
+    assert cfg.obs_dim == 96 and cfg.navi_in_obs
+    eng = DrivingEngine(scene, cfg)
+    st, obs = eng.reset(jax.random.PRNGKey(0), EnvParams.default(4))
+    side = np.asarray(obs[:, :4])
+    lane = np.asarray(obs[:, 10:14])
+    assert side.min() >= 0.0 and side.max() <= 1.0
+    assert (side < 1.0).any(), "side detector sees no wall"
+    assert (lane < 1.0).any(), "lane-line detector sees no line"
+
+    scene, cfg = make_scene("tollgate", num_agents=4)
+    assert (cfg.side_detector_lasers, cfg.lane_line_lasers) == (72, 5)
+    assert cfg.obs_dim == 156 and not cfg.navi_in_obs and cfg.toll_obs
+    eng = DrivingEngine(scene, cfg)
+    st, obs = eng.reset(jax.random.PRNGKey(0), EnvParams.default(4))
+    side = np.asarray(obs[:, :72])
+    assert (side < 1.0).any()
+    # toll flag dim (155) reads 0 outside the gate at spawn
+    np.testing.assert_allclose(np.asarray(obs[:, 155]), 0.0)
 
 
 def test_tollgate_zone_speed_limit_penalizes():
@@ -140,3 +153,61 @@ def test_default_configs_unchanged():
     assert cfg.obs_dim == 156
     scene, cfg = make_scene("bottleneck")
     assert cfg.obs_dim == 96
+
+
+def test_tollgate_stop_and_wait_mechanics():
+    # MetaDrive marl_tollgate semantics: leaving the gate unpaid = barrier
+    # crash; waiting toll_min_pass_time steps under the limit pays the toll
+    # (toll obs flag flips -1 -> +1) and the vehicle may proceed
+    import jax.numpy as jnp
+
+    scene, cfg = make_scene("tollgate", num_agents=1, crash_done=True)
+    eng = DrivingEngine(scene, cfg)
+    ep = EnvParams.default(1)
+
+    def drive_to_gate(state, obs):
+        # full throttle until inside the plaza (x in 80..100, +x direction)
+        for _ in range(400):
+            if bool(state.alive[0]) and 82.0 < float(state.pos[0, 0]) < 90.0:
+                break
+            act = jnp.array([[0.0, 1.0]])
+            state, out = eng.step(state, act, ep)
+            if not bool(state.alive[0]):
+                return state, out, False
+        return state, out, True
+
+    # runner: blast through the gate -> barrier crash
+    state, obs = eng.reset(jax.random.PRNGKey(3), ep)
+    # force a +x-direction agent: keys until spawn heading ~0
+    k = 3
+    while abs(float(state.heading[0])) > 0.5:
+        k += 1
+        state, obs = eng.reset(jax.random.PRNGKey(k), ep)
+    state, out, reached = drive_to_gate(state, obs)
+    crashed = False
+    for _ in range(200):
+        if not bool(state.alive[0]):
+            crashed = bool(np.asarray(out.info.crash).any()) or crashed
+            break
+        state, out = eng.step(state, jnp.array([[0.0, 1.0]]), ep)
+        crashed = crashed or bool(np.asarray(out.info.crash).any())
+    assert crashed, "unpaid gate run must hit the barrier"
+
+    # waiter: stop inside the gate for toll_min_pass_time, then proceed
+    state, obs = eng.reset(jax.random.PRNGKey(k), ep)
+    state, out, reached = drive_to_gate(state, obs)
+    assert reached
+    flag_before = float(np.asarray(out.obs[0, 155]))
+    for _ in range(cfg.toll_min_pass_time + 10):
+        state, out = eng.step(state, jnp.array([[0.0, -1.0]]), ep)  # brake+hold
+    assert float(np.asarray(out.obs[0, 155])) == 1.0, "toll flag must flip to paid"
+    assert flag_before == -1.0
+    arrived = False
+    for _ in range(600):
+        state, out = eng.step(state, jnp.array([[0.0, 0.8]]), ep)
+        if bool(np.asarray(out.info.arrive_dest).any()):
+            arrived = True
+            break       # stop before the slot respawns as a fresh agent
+        assert not bool(np.asarray(out.info.crash).any()), \
+            "paid vehicle must not hit the barrier"
+    assert arrived, "paid vehicle should reach its destination"
