@@ -248,14 +248,16 @@ def bake_lidar_field(walls: np.ndarray, bbox, cell: float, num_angles: int,
     return out
 
 
-def pad_routes(routes: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def pad_routes(routes: list[np.ndarray], min_waypoints: int = 0
+               ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Pad a list of (Pi,2) uniform-spacing waypoint arrays to (R,P,2).
 
     Padding repeats the final waypoint so downstream segment math (diff of
     consecutive waypoints) degenerates to zero-length segments past the end.
-    Returns (route_xy, route_len, n_valid).
+    `min_waypoints` forces a minimum P so scenes generated per-seed (PG maps)
+    share one compiled shape. Returns (route_xy, route_len, n_valid).
     """
-    P = max(len(r) for r in routes)
+    P = max(max(len(r) for r in routes), min_waypoints)
     R = len(routes)
     xy = np.zeros((R, P, 2), dtype=np.float32)
     n_valid = np.zeros((R,), dtype=np.int32)

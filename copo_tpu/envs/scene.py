@@ -118,6 +118,13 @@ class SceneBuildSpec:
     # ascending; the route end is appended automatically). None = a single
     # checkpoint at the route end.
     checkpoints: list | None = None
+    # Fixed-shape knobs for per-seed generated scenes (PG maps): force the
+    # padded waypoint count / checkpoint slots / wall rows so every seed
+    # compiles to the same SceneData shapes (jit cache hit instead of a
+    # recompile per seed).
+    pad_waypoints: int = 0
+    pad_checkpoints: int = 0
+    pad_walls: int = 0
     # Clearance kept between the vehicle center and a physical wall before
     # out-of-road fires. NEGATIVE extends the drivable corridor past the
     # wall face: MetaDrive ejects on BODY-sidewalk contact (crash_sidewalk),
@@ -135,6 +142,14 @@ class SceneBuildSpec:
     profile_slack: tuple = (0.0, 0.9)
 
 
+def _pad_rows(a: np.ndarray, n: int) -> np.ndarray:
+    """Pad (K, D) to (max(K, n), D) by repeating the last row (a repeated
+    wall segment is geometrically inert)."""
+    if n <= len(a):
+        return a
+    return np.concatenate([a, np.repeat(a[-1:], n - len(a), axis=0)], axis=0)
+
+
 def _interp_on_route(route: np.ndarray, s: float) -> tuple[np.ndarray, float]:
     """Position and heading at arc length s on a uniform-spacing route."""
     spacing = geo.WAYPOINT_SPACING
@@ -148,7 +163,7 @@ def _interp_on_route(route: np.ndarray, s: float) -> tuple[np.ndarray, float]:
 def compile_scene(spec: SceneBuildSpec) -> SceneData:
     """Compile a SceneBuildSpec to device-ready arrays (runs once, on host)."""
     resampled = [geo.resample_polyline(r) for r in spec.routes]
-    route_xy, route_len, n_valid = geo.pad_routes(resampled)
+    route_xy, route_len, n_valid = geo.pad_routes(resampled, spec.pad_waypoints)
 
     S = len(spec.spawns)
     RMAX = max(len(opts) for opts in spec.spawns)
@@ -175,7 +190,7 @@ def compile_scene(spec: SceneBuildSpec) -> SceneData:
         if not base or base[-1] < route_len[i] - 1.0:
             base.append(float(route_len[i]))
         cks.append(base)
-    C = max(len(c) for c in cks)
+    C = max(max(len(c) for c in cks), spec.pad_checkpoints)
     ckpt_s = np.zeros((R, C), np.float32)
     for i, c in enumerate(cks):
         ckpt_s[i, :len(c)] = c
@@ -256,7 +271,9 @@ def compile_scene(spec: SceneBuildSpec) -> SceneData:
         lidar_field=jnp.asarray(field),
         field_origin=jnp.asarray(origin),
         field_cell=jnp.asarray(np.float32(spec.lidar_cell)),
-        walls=jnp.asarray(np.asarray(spec.walls, dtype=np.float32).reshape(-1, 4)),
+        walls=jnp.asarray(_pad_rows(
+            np.asarray(spec.walls, dtype=np.float32).reshape(-1, 4),
+            spec.pad_walls)),
         bbox=jnp.asarray(np.asarray(spec.bbox, dtype=np.float32)),
         zone=jnp.asarray(np.asarray(
             spec.zone if spec.zone is not None else (0.0, 0.0, 0.0, 0.0),

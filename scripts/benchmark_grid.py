@@ -133,6 +133,15 @@ if __name__ == "__main__":
                     trainers[(algo, env)] = make_trainer(algo, env,
                                                          args.start_seed)
                 trainer, iters = trainers[(algo, env)]
+                if env == "pgmap":
+                    # per-seed procedural map (the reference's start_seed
+                    # grid draws a different PG map per seed); scene shapes
+                    # are padded to a fixed signature so the cached jit
+                    # program is reused across seeds
+                    kw = {"map_seed": seed}
+                    if algo == "copo":
+                        kw["lcf_enabled"] = True
+                    trainer.scene, trainer.env_cfg = make_scene(env, **kw)
                 if trial_done(tdir, iters):
                     print(f"=== {trial}: done, skipping", flush=True)
                     continue

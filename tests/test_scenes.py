@@ -94,3 +94,24 @@ def test_spawn_capacity():
         assert spawned >= min(cfg.num_agents, scene.num_spawns) * 0.5, (
             name, spawned, cfg.num_agents, scene.num_spawns,
         )
+
+
+def test_pgmap_per_seed_maps_share_one_shape():
+    # different map_seed -> different geometry but IDENTICAL SceneData
+    # shapes (padded), so the per-seed map rotation in the benchmark grid
+    # reuses one compiled program (VERDICT r3 missing #6)
+    import numpy as np
+
+    sigs, centers = set(), []
+    for seed in (0, 5000, 5100):
+        scene, cfg = make_scene("pgmap", map_seed=seed)
+        sigs.add(tuple(
+            (f, tuple(getattr(scene, f).shape))
+            for f in sorted(scene.__dataclass_fields__)
+            if hasattr(getattr(scene, f), "shape")
+        ))
+        centers.append(np.asarray(scene.route_xy[1, :50]))
+    assert len(sigs) == 1
+    # maps actually differ
+    assert not np.allclose(centers[0], centers[1])
+    assert cfg.scene_kwargs == (("map_seed", 5100),)
