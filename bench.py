@@ -43,7 +43,8 @@ def bench_rollout(on_accel: bool):
     from copo_tpu.envs.engine import vec_reset, vec_step
     from copo_tpu.models.mlp import DiagGaussian, init_model, policy_logits
 
-    batch_sizes = (64, 128, 256, 512) if on_accel else (16,)
+    # sweep past the knee (r3 stopped at 512 while still monotone)
+    batch_sizes = (64, 128, 256, 512, 1024, 2048) if on_accel else (16,)
     T = 64 if on_accel else 8
     N = 40
 

@@ -85,6 +85,11 @@ class EnvConfig:
     #     columns; MetaDrive's `vehicle.speed` is km/h) ---
     vehicle_length: float = 4.5
     vehicle_width: float = 1.85
+    # collision boxes are deflated by this much per side: Bullet registers
+    # crash_vehicle contacts via impulse-bearing manifolds, which grazing
+    # passes of the visual boxes don't produce — exact-box overlap over-fires
+    # vs the reference (cross-eval: ippo_inter crash 0.54 vs home 0.33)
+    collision_shrink: float = 0.25
     wheelbase: float = 2.6
     max_speed: float = 11.1         # m/s (40 km/h)
     # speed-obs normalizer (m/s); 0 = use max_speed. MetaDrive's speed dim is
@@ -143,6 +148,11 @@ class EnvConfig:
     #     crash) ---
     toll_obs: bool = False
     toll_min_pass_time: int = 30
+    # overspeeding INSIDE the gate terminates the vehicle as a crash
+    # (MetaDrive's published tollgate table — IPPO 4.4% success — is only
+    # consistent with a hard failure for breaking the gate speed limit, not
+    # a shaping penalty a policy could simply ignore)
+    toll_overspeed_crash: bool = True
     # scenes may define a special zone (tollgate plaza / bottleneck throat)
     # with a speed limit; > 0 enables the overspeed penalty inside the zone
     # (MetaDrive: overspeed cancels the speed reward and charges

@@ -320,26 +320,40 @@ def engine_step(scene: SceneData, cfg: EnvConfig, state: EnvState, actions,
         steering = jnp.where(alive0, steering, state.steering)
         yaw_rate = jnp.where(alive0, yaw_rate, 0.0)
 
-        # collision: capsule-vs-capsule via three width-true discs per vehicle
-        # (disc radius = half the vehicle width, so the effective footprint
-        # matches MetaDrive's box width instead of over-approximating it;
-        # three discs leave no coverage hole along the 4.5 m body)
-        D = 3
-        r = 0.5 * cfg.vehicle_width
-        off = 0.5 * (cfg.vehicle_length - cfg.vehicle_width)
-        fwd = jnp.stack([jnp.cos(heading), jnp.sin(heading)], axis=-1)
-        discs = jnp.stack(
-            [pos + off * fwd, pos, pos - off * fwd], axis=1
-        )  # (N, D, 2)
-        flat = discs.reshape(D * N, 2)
-        owner = jnp.repeat(jnp.arange(N), D)
+        # collision: exact oriented-box overlap via the separating-axis
+        # test (4 axes per pair). The earlier 3-disc capsule approximation
+        # FORGAVE corner-to-corner clips of up to ~0.4 m — exactly the
+        # contact mode of zipper merges — making the bottleneck's published
+        # crash-driven difficulty unreachable; Bullet collides the full
+        # 4.5 x 1.85 m boxes. O(N^2) with tiny per-pair math (cheaper than
+        # the (3N)^2 disc distance matrix it replaces).
+        hl = 0.5 * cfg.vehicle_length - cfg.collision_shrink
+        hw = 0.5 * cfg.vehicle_width - cfg.collision_shrink
+        cos_h, sin_h = jnp.cos(heading), jnp.sin(heading)
+        u = jnp.stack([cos_h, sin_h], axis=-1)        # (N, 2) body fwd
+        v = jnp.stack([-sin_h, cos_h], axis=-1)       # (N, 2) body left
+        dvec = pos[None, :, :] - pos[:, None, :]      # i -> j
+        du_i = jnp.einsum("ijk,ik->ij", dvec, u)
+        dv_i = jnp.einsum("ijk,ik->ij", dvec, v)
+        du_j = jnp.einsum("ijk,jk->ij", dvec, u)
+        dv_j = jnp.einsum("ijk,jk->ij", dvec, v)
+        dh_pair = heading[:, None] - heading[None, :]
+        ac = jnp.abs(jnp.cos(dh_pair))
+        asn = jnp.abs(jnp.sin(dh_pair))
+        margin = 0.05
+        thr_u = hl + hl * ac + hw * asn + margin
+        thr_v = hw + hl * asn + hw * ac + margin
+        pen = jnp.minimum(
+            jnp.minimum(thr_u - jnp.abs(du_i), thr_v - jnp.abs(dv_i)),
+            jnp.minimum(thr_u - jnp.abs(du_j), thr_v - jnp.abs(dv_j)),
+        )                                             # (N, N) min-axis depth
         body_present = state.present
-        presentD = jnp.repeat(body_present, D)
-        delta = flat[:, None, :] - flat[None, :, :]
-        dd = jnp.sum(delta**2, axis=-1)
-        overlap = (dd < (2 * r) ** 2) & (owner[:, None] != owner[None, :])
-        overlap &= presentD[:, None] & presentD[None, :]
-        crash_body = jnp.any(overlap.reshape(N, D, D * N), axis=(1, 2))
+        overlap = (
+            (pen > 0.0)
+            & body_present[:, None] & body_present[None, :]
+            & ~jnp.eye(N, dtype=bool)
+        )
+        crash_body = jnp.any(overlap, axis=1)
         crash = alive0 & crash_body
         # penalize the IMPACT (contact onset), not every step of a sustained
         # contact: a Bullet-style jam keeps bodies touching for many steps,
@@ -348,16 +362,18 @@ def engine_step(scene: SceneData, cfg: EnvConfig, state: EnvState, actions,
         crash_onset = crash & ~state.in_contact
 
         # --- contact resolution (Bullet-equivalent, kinematic) ---
-        # Overlapping bodies are pushed apart along the line of centers and
-        # lose most of their speed (inelastic bump). Without this, bodies
-        # tunnel through each other and — under the MA-default
-        # crash_done=False — sit overlapped accruing the crash penalty every
-        # step, which MetaDrive's rigid-body engine never allows.
-        d = jnp.sqrt(jnp.maximum(dd, 1e-12))
-        pen = jnp.where(overlap, 2 * r + 0.1 - d, 0.0)    # (DN, DN), +margin
-        push_dir = delta / jnp.maximum(d, 1e-6)[..., None]
-        push_disc = jnp.sum(0.5 * pen[..., None] * push_dir, axis=1)  # (DN, 2)
-        push = push_disc.reshape(N, D, 2).sum(axis=1)
+        # Overlapping bodies are pushed apart along the line of centers by
+        # the separation depth and lose most of their speed (inelastic
+        # bump). Without this, bodies tunnel through each other and — under
+        # the MA-default crash_done=False — sit overlapped accruing the
+        # crash penalty every step, which MetaDrive's rigid-body engine
+        # never allows.
+        dn = jnp.sqrt(jnp.sum(dvec * dvec, axis=-1) + 1e-12)
+        push = jnp.sum(
+            -dvec / dn[..., None]
+            * jnp.where(overlap, jnp.minimum(pen, 1.0), 0.0)[..., None] * 0.5,
+            axis=1,
+        )
         push_norm = jnp.linalg.norm(push, axis=-1, keepdims=True)
         push = push * (jnp.minimum(push_norm, 0.5) / jnp.maximum(push_norm, 1e-6))
         pos = jnp.where((alive0 & crash_body)[:, None], pos + push, pos)
@@ -384,6 +400,14 @@ def engine_step(scene: SceneData, cfg: EnvConfig, state: EnvState, actions,
             was_in = obs_in_zone(scene, state.pos)
             paid = state.toll_time >= cfg.toll_min_pass_time
             ran_gate = alive0 & was_in & ~in_z & ~paid
+            if cfg.toll_overspeed_crash:
+                # breaking the gate speed limit is itself fatal — a small
+                # grace band over the 3 km/h limit keeps queue creep legal (1.5x:
+                # calibrated so trained IPPO lands in the published 4-37%
+                # tollgate band rather than 0 or 70)
+                ran_gate = ran_gate | (
+                    alive0 & in_z & (speed > cfg.zone_speed_limit * 1.5)
+                )
 
         crash = crash | ran_gate
         crash_onset = crash_onset | ran_gate

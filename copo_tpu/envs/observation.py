@@ -1,35 +1,35 @@
-"""Observation kernel: ego state + navigation + lidar (+ scene extras + LCF).
+"""Observation kernel: ego state + detectors + navigation + lidar (+ LCF).
 
 Rebuilds the observation contract the reference consumes from MetaDrive 0.2.5
-(SURVEY.md §2.2): flat float Box normalized to [0, 1], dims 91 (Intersection /
-Roundabout / Parking = 9 ego + 10 navi + 72 lidar), 96 (Bottleneck, +5 scene
-extras), 156 (Tollgate, +65 extras), +1 LCF slot when the CoPO wrapper is on
-(`env_wrappers.py:393-418` appends (lcf+1)/2).
+(SURVEY.md §2.2): flat float Box normalized to [0, 1]; dims 91 (Intersection /
+Roundabout / Parking), 96 (Bottleneck), 156 (Tollgate), +1 LCF slot when the
+CoPO wrapper is on (`env_wrappers.py:393-418` appends (lcf+1)/2).
 
-Layout (documented deviation: MetaDrive's navi checkpoints are road-block
-boundaries; ours are fixed +20 m / +40 m arc-length lookaheads on the route —
-same information role, simpler static-shape math):
-  [0]   left drivable-edge distance / ((lane_num+1)*lane_width)
-  [1]   right drivable-edge distance / ((lane_num+1)*lane_width)
-  [2]   heading diff vs lane right-normal: (1 - sin(err))/2, 0.5 = aligned
-  [3]   (speed km/h + 1) / (max km/h + 1)
-  [4]   steering / max_steering, mapped to [0,1]
-  [5:7] last action, mapped to [0,1]
-  [6+1] |yaw rate| rad/s, clipped to [0,1]
-  [8]   (1 + 2*lateral/lane_width)/2: lane-center offset, left-positive
-  [9:19]  2 checkpoints x [fwd proj, side proj (right-pos), bend radius/100,
-          clockwise flag, bend angle (0.5 = straight)] — MetaDrive
-          get_navi_info schema; projections saturate in norm at 50 m then
-          map (x/50+1)/2; bend angle maps (x+1)/2 like MetaDrive's sweep
-          angle so straights read 0.5
-  [19:19+L] lidar distances / range (1 = clear)
-  [...obs_extra_dim] scene-specific block: zeros, or (obs_extra_dim-1)
-          static-detector beams + 1 in-zone flag when obs_extra_kind="detector"
-  [+3]  traffic-light msg + bbox-normalized position when cfg.add_traffic_light
-        (env_wrappers.py:258-272)
-  [+1]  (lcf+1)/2 when cfg.lcf_enabled
-  [+K*comm_dim] neighbours' comm messages when cfg.comm_method != "none"
-        (env_wrappers.py:363-376; append order matches the reference)
+Layout (MetaDrive 0.2.5 StateObservation.vehicle_state order; the boundary /
+lane-offset dims are REPLACED by detector rings when the scene configures
+them — see EnvConfig detector comments):
+  [edge block]  2 dims: left/right road-edge distance / ((lane_num+1)*w)
+                — or side-detector ring (side_detector_lasers) sensing the
+                physical walls, first beam to the RIGHT, clockwise
+  [core 6]      heading diff vs lane right-normal ((1 - sin(err))/2),
+                speed (km/h+1)/(max+1), steering state, last action x2,
+                |yaw rate|
+  [lane block]  1 dim: lane-center offset (1 + 2*lat/w)/2 against the lane
+                the vehicle is IN — or lane-line detector ring
+                (lane_line_lasers) against the painted lane lines
+  [navi 10]     2 checkpoints x [fwd proj, side proj (right-positive),
+                bend radius/100, clockwise flag, bend angle] at the route's
+                segment-boundary nodes (scene.route_ckpt_s); straights read
+                (0, 0.5, 0.5); omitted when navi_in_obs=False (tollgate)
+  [lidar L]     distances / range (1 = clear), vehicles only
+  [+4K]         nearest-K vehicle features when lidar_num_others > 0
+  [+1]          toll gate flag (0 outside / -1 unpaid / +1 paid) when
+                toll_obs (TollGateObservation semantics)
+  [+3]          traffic-light msg + bbox-normalized position when
+                add_traffic_light (env_wrappers.py:258-272)
+  [+1]          (lcf+1)/2 when lcf_enabled
+  [+K*comm_dim] neighbours' comm messages when comm_method != "none"
+                (env_wrappers.py:363-376; append order matches the reference)
 """
 
 from __future__ import annotations

@@ -33,11 +33,11 @@ LANE_W = 3.5
 ENTRY_LANES = (-1.75, -5.25, -8.75, -12.25)
 NECK_Y = -1.75                 # the single neck lane hugs the yellow line
 ROAD_HW = 4 * LANE_W           # 14: each direction spans y in (0, -14)
-X_ENTRY_END = 40.0
-X_NARROW_START = 80.0          # 40 m funnel: a <=15deg merge path
-X_NARROW_END = 100.0           # neck_length = 20 (MetaDrive)
-X_EXPAND_END = 140.0
-X_EXIT_END = 185.0
+X_ENTRY_END = 55.0
+X_NARROW_START = 70.0          # 15 m funnel: an abrupt 4->1 zipper merge
+X_NARROW_END = 90.0            # neck_length = 20 (MetaDrive)
+X_EXPAND_END = 110.0
+X_EXIT_END = 165.0
 
 
 def _route(lane_idx: int):
@@ -77,7 +77,8 @@ def _walls():
     return np.concatenate([edge(1), edge(-1), cap_in, cap_out], axis=0)
 
 
-def build_bottleneck(num_agents: int | None = None, **cfg_overrides):
+def build_bottleneck(num_agents: int | None = None, bidirectional: bool = True,
+                     line_slack: float = 0.0, **cfg_overrides):
     num_agents = 20 if num_agents is None else num_agents
 
     routes, half_widths = [], []
@@ -93,18 +94,20 @@ def build_bottleneck(num_agents: int | None = None, **cfg_overrides):
         return prof
 
     checkpoints = []
+    dirs = ((1.0, 0), (-1.0, 1)) if bidirectional else ((1.0, 0),)
+    n_dirs = len(dirs)
     for i in range(4):
         fwd, cks = _route(i)
-        for sign, poly in ((1.0, fwd), (-1.0, _mirror(fwd))):
-            routes.append(poly)
+        for sign, d in dirs:
+            routes.append(fwd if d == 0 else _mirror(fwd))
             half_widths.append(corridor(sign))
             checkpoints.append(cks)
 
     spawns = []
     for i in range(4):
         for s0 in (4.0, 14.0, 24.0, 34.0, 44.0):
-            spawns.append([(2 * i, s0)])        # +x direction route
-            spawns.append([(2 * i + 1, s0)])    # -x direction route
+            for d in range(n_dirs):
+                spawns.append([(n_dirs * i + d, s0)])
 
     cfg_overrides.setdefault("side_detector_lasers", 4)
     cfg_overrides.setdefault("side_detector_distance", 50.0)
@@ -118,6 +121,7 @@ def build_bottleneck(num_agents: int | None = None, **cfg_overrides):
         bbox=(-5.0, X_EXIT_END + 5, -ROAD_HW - 4.0, ROAD_HW + 4.0),
         zone=(X_NARROW_START, X_NARROW_END, -LANE_W, LANE_W),
         checkpoints=checkpoints,
+        profile_slack=(line_slack, 0.9),
         lidar_range=50.0,   # side-detector range (field bake cap)
     )
     scene = compile_scene(spec)

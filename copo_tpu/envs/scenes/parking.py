@@ -6,13 +6,12 @@ aisle (travel +y) with angled bays on both sides; agents either drive from
 the entrance into a destination bay ("park") or pull out of a bay and drive
 to the exit ("leave"), matching the reference's two task flavours.
 
-Forward-drivability design: park bays on the right are tilted up-aisle
-(swing in nose-first from below); leave bays on the left are tilted
-down-aisle (pull out nose-first continuing up-aisle). Bay angle 55 deg keeps
-every transition above the bicycle model's ~3.1 m minimum turning radius, so
-routes never require reversing (the dynamics do support a capped reverse,
-`dynamics.py max_reverse_speed`, used for backing out of contact — the bay
-geometry just doesn't depend on it).
+Near-perpendicular 80-degree bays at real-world spot width (2.7 m between
+divider walls): swinging into a spot from the 3.5 m one-way aisle is at the
+bicycle model's turning limit, so precise low-speed maneuvering — often
+with a reverse correction (enable_reverse=True, the one MetaDrive scene
+that allows it) — is required, reproducing the published difficulty band
+(12-21% success across algorithms).
 """
 
 from __future__ import annotations
@@ -26,7 +25,7 @@ from copo_tpu.envs.scene import SceneBuildSpec, compile_scene
 LANE_W = 3.5
 UP_X = 1.75                   # one-way aisle centerline (travel +y)
 BAY_LEN = 7.0
-BAY_ANGLE = np.radians(55.0)
+BAY_ANGLE = np.radians(80.0)
 Y_IN = 0.0
 Y_OUT = 44.0
 APPROACH = 14.0               # entrance/exit stubs
@@ -82,13 +81,13 @@ def _walls(park_ys, leave_ys):
         p0, p1 = _park_bay(y)
         d = (p1 - p0) / np.linalg.norm(p1 - p0)
         n = np.array([-d[1], d[0]])
-        for s in (2.2, -2.2):
+        for s in (1.35, -1.35):
             parts.append(np.stack([p0 + s * n, p1 + s * n]).astype(np.float32))
     for y in leave_ys:
         q0, q1 = _leave_bay(y)
         d = (q0 - q1) / np.linalg.norm(q0 - q1)
         n = np.array([-d[1], d[0]])
-        for s in (2.2, -2.2):
+        for s in (1.35, -1.35):
             parts.append(np.stack([q1 + s * n, q0 + s * n]).astype(np.float32))
     return np.concatenate([geo.polyline_to_walls(p) for p in parts], axis=0)
 
