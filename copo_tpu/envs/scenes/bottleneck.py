@@ -33,8 +33,8 @@ LANE_W = 3.5
 ENTRY_LANES = (-1.75, -5.25, -8.75, -12.25)
 NECK_Y = -1.75                 # the single neck lane hugs the yellow line
 ROAD_HW = 4 * LANE_W           # 14: each direction spans y in (0, -14)
-X_ENTRY_END = 55.0
-X_NARROW_START = 70.0          # 15 m funnel: an abrupt 4->1 zipper merge
+X_ENTRY_END = 62.0
+X_NARROW_START = 70.0          # 8 m funnel: lanes END at the merge boundary
 X_NARROW_END = 90.0            # neck_length = 20 (MetaDrive)
 X_EXPAND_END = 110.0
 X_EXIT_END = 165.0

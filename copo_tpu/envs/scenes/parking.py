@@ -25,7 +25,7 @@ from copo_tpu.envs.scene import SceneBuildSpec, compile_scene
 LANE_W = 3.5
 UP_X = 1.75                   # one-way aisle centerline (travel +y)
 BAY_LEN = 7.0
-BAY_ANGLE = np.radians(80.0)
+BAY_ANGLE = np.radians(90.0)
 Y_IN = 0.0
 Y_OUT = 44.0
 APPROACH = 14.0               # entrance/exit stubs
@@ -49,16 +49,16 @@ def _routes(park_ys, leave_ys):
     routes = []
     for y in park_ys:
         p0, p1 = _park_bay(y)
-        entry = geo.straight((UP_X, Y_IN - APPROACH), (UP_X, y - 8.0))
-        swing = geo.hermite((UP_X, y - 8.0), (0, 1), p0, p1 - p0, n=18)
+        entry = geo.straight((UP_X, Y_IN - APPROACH), (UP_X, y - 5.0))
+        swing = geo.hermite((UP_X, y - 5.0), (0, 1), p0, p1 - p0, n=18)
         bay = geo.straight(p0, p1)
         routes.append(("park", geo.join_polylines(entry, swing, bay),
                        geo.cum_boundaries(entry, swing, bay)))
     for y in leave_ys:
         q0, q1 = _leave_bay(y)
         bay = geo.straight(q1, q0)     # deep end -> mouth (heading up-inward)
-        merge = geo.hermite(q0, q0 - q1, (UP_X, y + 8.0), (0, 1), n=18)
-        out = geo.straight((UP_X, y + 8.0), (UP_X, Y_OUT + APPROACH))
+        merge = geo.hermite(q0, q0 - q1, (UP_X, y + 5.0), (0, 1), n=18)
+        out = geo.straight((UP_X, y + 5.0), (UP_X, Y_OUT + APPROACH))
         routes.append(("leave", geo.join_polylines(bay, merge, out),
                        geo.cum_boundaries(bay, merge, out)))
     through = geo.straight((UP_X, Y_IN - APPROACH), (UP_X, Y_OUT + APPROACH))
@@ -81,13 +81,13 @@ def _walls(park_ys, leave_ys):
         p0, p1 = _park_bay(y)
         d = (p1 - p0) / np.linalg.norm(p1 - p0)
         n = np.array([-d[1], d[0]])
-        for s in (1.35, -1.35):
+        for s in (1.2, -1.2):
             parts.append(np.stack([p0 + s * n, p1 + s * n]).astype(np.float32))
     for y in leave_ys:
         q0, q1 = _leave_bay(y)
         d = (q0 - q1) / np.linalg.norm(q0 - q1)
         n = np.array([-d[1], d[0]])
-        for s in (1.35, -1.35):
+        for s in (1.2, -1.2):
             parts.append(np.stack([q1 + s * n, q0 + s * n]).astype(np.float32))
     return np.concatenate([geo.polyline_to_walls(p) for p in parts], axis=0)
 
