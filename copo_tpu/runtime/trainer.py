@@ -41,6 +41,10 @@ class TrainerConfig:
     gamma: float = 0.99
     lam: float = 0.95
     lr: float = 3e-4
+    # Linear lr decay to 0 over this many OPTIMIZER updates (0 = constant,
+    # the reference's setting). One iteration performs
+    # num_sgd_iter * (batch // sgd_minibatch_size) updates.
+    lr_anneal_updates: int = 0
     num_sgd_iter: int = 5
     sgd_minibatch_size: int = 512
     kl_coeff_init: float = 0.2
@@ -90,7 +94,11 @@ class IPPOTrainer:
         self.scene = scene
         self.env_cfg = env_cfg
         self.cfg = cfg
-        self.tx = optax.adam(cfg.lr, eps=1e-7)
+        if cfg.lr_anneal_updates > 0:
+            lr = optax.linear_schedule(cfg.lr, 0.0, cfg.lr_anneal_updates)
+        else:
+            lr = cfg.lr
+        self.tx = optax.adam(lr, eps=1e-7)
         # scene is a jit ARGUMENT: closing device arrays into jit as constants
         # degrades both compile (>10x) and runtime (>40x on the axon backend).
         # The iteration is three jitted phases (rollout / SGD / extra) so the

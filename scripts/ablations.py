@@ -9,6 +9,9 @@ Modes:
               (`train_ippo_maximize_local_reward.py:44-47`).
   max-global: neighbour radius 10000 -> nei reward == global mean
               (`train_ippo_maximize_global_reward.py:44-46`).
+  global-value: CoPO with use_global_value on/off (the published ablation
+              axis of the meta-gradient's L1 advantage stream,
+              `train_all_copo_dist.py:49`, `grad.py:43-46`).
 """
 
 import argparse
@@ -27,7 +30,9 @@ from copo_tpu.runtime.trainer import IPPOTrainer, TrainerConfig
 
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
-    p.add_argument("--mode", choices=("force-lcf", "max-local", "max-global"),
+    p.add_argument("--mode",
+                   choices=("force-lcf", "max-local", "max-global",
+                            "global-value"),
                    default="force-lcf")
     p.add_argument("--env", type=str, default="intersection")
     p.add_argument("--lcf-values", nargs="*", type=float,
@@ -64,10 +69,25 @@ if __name__ == "__main__":
                  neighbours_distance=10.0),
             dict(force_lcf=jnp.float32(1.0)),   # phi = 90 deg
         )
-    else:  # max-global
+    elif args.mode == "max-global":
         train_one(
             "max_global",
             dict(lcf_enabled=True, return_native_reward=False,
                  neighbours_distance=10000.0),
             dict(force_lcf=jnp.float32(1.0)),
         )
+    else:  # global-value: CoPO meta-gradient L1 stream on/off
+        from copo_tpu.runtime.copo import CoPOConfig, CoPOTrainer
+
+        for ugv in (True, False):
+            scene, env_cfg = make_scene(args.env, lcf_enabled=True)
+            trainer = CoPOTrainer(scene, env_cfg, CoPOConfig(
+                num_envs=args.num_envs, rollout_T=args.rollout_T,
+                seed=args.seed, use_global_value=ugv, fused=True))
+            out = run_trial(
+                trainer, args.num_iters,
+                f"results/ablation_{args.mode}/ugv_{ugv}",
+                checkpoint_freq=0)
+            m = out["metrics"]
+            print(f"use_global_value={ugv} -> success "
+                  f"{m.get('success'):.3f} lcf_deg {m.get('lcf_deg', 0):.1f}")

@@ -95,6 +95,24 @@ def snapshot(root: str, tag: str, out_base: str = "artifacts") -> str:
             refs.append(f"ref {r[0]:.1f} ({r[1]:.1f})" if r else "")
         lines.append(f"| {algo} | " + " | ".join(
             f"{o}<br>{r}" for o, r in zip(ours, refs)) + " |")
+    lines += [
+        "",
+        "### Per-scene calibration caveats (r4)",
+        "",
+        "- **intersection / roundabout**: cross-eval-calibrated — the"
+        " reference's shipped npz policies score within a few points of"
+        " their home-env CSVs here (PARITY.md), so these columns compare"
+        " like-for-like difficulty.",
+        "- **bottleneck / tollgate / parking**: mechanics match MetaDrive"
+        " (single-lane neck, stop-and-wait gate with fatal overspeed,"
+        " 90-degree reverse-assisted bays) but our trained success exceeds"
+        " the published bands — the residual tracks learner efficiency"
+        " (this trainer reaches the reference's 1M-step success level in"
+        " ~200k steps), so treat these columns as OUR-framework numbers,"
+        " not difficulty-parity evidence.",
+        "- **pgmap**: procedural maps rotate per seed (map_seed = start"
+        " seed) as in the reference; map family is curves/straights only.",
+    ]
     with open(os.path.join(out, "benchmark_table.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
 
