@@ -114,6 +114,14 @@ def _episode(scene: SceneData, cfg: EnvConfig, policy_fn, policy_params,
 
 _jit_episode = jax.jit(_episode, static_argnums=(1, 2, 6))
 
+#: batched episodes: vmap over the episode keys (one device dispatch for the
+#: whole eval instead of num_episodes sequential scans — the grid-wide eval
+#: pass walks hundreds of checkpoints)
+_jit_episode_batch = jax.jit(
+    jax.vmap(_episode, in_axes=(None, None, None, None, None, 0, None)),
+    static_argnums=(1, 2, 6),
+)
+
 
 #: window length for traffic-efficiency rates (reference RecorderEnv logs
 #: arrival/crash counts per 300-step window, `eval/recoder.py:177-349`)
@@ -211,11 +219,16 @@ def evaluate_policy(scene: SceneData, cfg: EnvConfig, params_or_policy,
         drain_steps = min(cfg.max_step_per_agent, DEFAULT_DRAIN_STEPS) \
             if cfg.horizon_grace else 0
 
+    keys = jnp.stack([
+        jax.random.PRNGKey(seed * 1000 + ep) for ep in range(num_episodes)
+    ])
+    raw_all = jax.device_get(_jit_episode_batch(
+        scene, cfg, policy_fn, policy_params, env_params, keys, drain_steps
+    ))
     rows = []
     for ep in range(num_episodes):
-        raw = _jit_episode(scene, cfg, policy_fn, policy_params, env_params,
-                           jax.random.PRNGKey(seed * 1000 + ep), drain_steps)
-        row = episode_result(jax.device_get(raw))
+        raw = jax.tree_util.tree_map(lambda a: a[ep], raw_all)
+        row = episode_result(raw)
         row["episode"] = ep
         rows.append(row)
     return rows
