@@ -101,5 +101,13 @@ def meta_gradient(params, target_params, batch, clip_param, raw_adv_mean,
         "meta/grad_value": grad_value,
         "meta/lcf_adv_loss": l3,
         "meta/lcf_final_loss": loss_lcf,
+        # push-direction diagnostics (the reference logs coordinated_adv /
+        # global_adv means, `algo_copo.py:303-305`): the early LCF drift
+        # direction is -grad_value * mean(-sin(phi)*adv + cos(phi)*nei_adv)
+        # — a persistently negative nei_adv mean with positive grad_value
+        # drives phi toward 90 deg (the r4 tollgate runaway)
+        "meta/adv_mean": masked_mean(batch["advantages"], mask),
+        "meta/nei_adv_mean": masked_mean(batch["nei_advantage"], mask),
+        "meta/lcf_grad_mean": lcf_grad[0],
     }
     return lcf_grad, stats

@@ -151,7 +151,9 @@ class EnvConfig:
     # overspeeding INSIDE the gate terminates the vehicle as a crash
     # (MetaDrive's published tollgate table — IPPO 4.4% success — is only
     # consistent with a hard failure for breaking the gate speed limit, not
-    # a shaping penalty a policy could simply ignore)
+    # a shaping penalty a policy could simply ignore). The fatal threshold
+    # carries a 1.3x grace band over zone_speed_limit (engine.py) so queue
+    # creep stays legal.
     toll_overspeed_crash: bool = True
     # scenes may define a special zone (tollgate plaza / bottleneck throat)
     # with a speed limit; > 0 enables the overspeed penalty inside the zone

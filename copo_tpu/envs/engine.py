@@ -402,9 +402,10 @@ def engine_step(scene: SceneData, cfg: EnvConfig, state: EnvState, actions,
             ran_gate = alive0 & was_in & ~in_z & ~paid
             if cfg.toll_overspeed_crash:
                 # breaking the gate speed limit is itself fatal — a small
-                # grace band over the 3 km/h limit keeps queue creep legal (1.5x:
-                # calibrated so trained IPPO lands in the published 4-37%
-                # tollgate band)
+                # grace band over the 3 km/h limit keeps queue creep legal
+                # (1.3x: calibrated so trained IPPO lands in the published
+                # 4-37% tollgate band; the r4 sweep walked 2.0->1.15 and
+                # settled here)
                 ran_gate = ran_gate | (
                     alive0 & in_z & (speed > cfg.zone_speed_limit * 1.3)
                 )

@@ -233,8 +233,7 @@ def lidar_scan(scene: SceneData, cfg: EnvConfig, pos, heading, present):
     """
     d = vehicle_lidar(cfg, pos, heading, present)
     if cfg.lidar_see_static:
-        # the baked-field ring samples counterclockwise; vehicle beams are
-        # clockwise (beam_angles) — reorder: cw[k] = ccw[(L - k) % L]
-        s = static_lidar(scene, cfg, pos, heading)
-        d = jnp.minimum(jnp.roll(jnp.flip(s, axis=-1), 1, axis=-1), d)
+        # sample_field_ring beams are clockwise-from-heading, the same
+        # order as vehicle beams (beam_angles) — combine directly
+        d = jnp.minimum(static_lidar(scene, cfg, pos, heading), d)
     return jnp.clip(d / cfg.lidar_distance, 0.0, 1.0)

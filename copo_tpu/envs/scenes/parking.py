@@ -130,6 +130,10 @@ def build_parking(num_agents: int | None = None, parking_space_num: int = 8,
         walls=_walls(park_ys, leave_ys),
         checkpoints=checkpoints,
         bbox=(-(lot_hw + 4), lot_hw + 4, Y_IN - APPROACH - 4, Y_OUT + APPROACH + 4),
+        # every lot edge is a physical wall; body-contact slack on both sides
+        # (the walls clamp the wide 6.0 m profile anyway — this only removes
+        # the left/right asymmetry of the default)
+        profile_slack=(0.9, 0.9),
     )
     scene = compile_scene(spec)
     cfg = EnvConfig(num_agents=num_agents, **cfg_overrides)

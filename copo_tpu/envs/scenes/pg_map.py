@@ -135,6 +135,10 @@ def build_pg_map(num_agents: int | None = None, map_seed: int = 0, **cfg_overrid
         pad_waypoints=int(TARGET_LEN / geo.WAYPOINT_SPACING) + 24,
         pad_checkpoints=NUM_BLOCKS + 2,
         pad_walls=160,
+        # one-directional road with physical curbs on BOTH edges: body-contact
+        # slack on both sides (the default (0.0, 0.9) is for scenes whose left
+        # edge is the painted yellow line)
+        profile_slack=(0.9, 0.9),
     )
     scene = compile_scene(spec)
     cfg = EnvConfig(num_agents=num_agents, **cfg_overrides)

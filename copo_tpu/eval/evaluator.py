@@ -70,7 +70,11 @@ def _episode(scene: SceneData, cfg: EnvConfig, policy_fn, policy_params,
         # the policy/step work is skipped (the typical post-horizon field
         # empties within tens of steps; paying 1000 full steps for it doubled
         # eval cost and the monolithic 2000-step program wedged XLA compile
-        # on the remote-attached backend — NOTES_r3 items 3/5)
+        # on the remote-attached backend — NOTES_r3 items 3/5).
+        # NOTE: the compute skip only materializes on the UNBATCHED path —
+        # under the vmapped episode batch the predicate is batched, cond
+        # lowers to select, and both branches execute; correctness is
+        # unaffected and the segment early-out below still bounds the cost.
         state, obs = carry
         any_alive = jnp.any(state.alive)
         zero_rec = {

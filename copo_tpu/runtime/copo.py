@@ -38,6 +38,19 @@ class CoPOConfig(TrainerConfig):
     # (reference default, `train_all_copo_dist.py:49`) vs standardized ego
     # advantage (published ablation, `grad.py:43-46`)
     use_global_value: bool = True
+    # Trust region on the LCF meta-update: the aggregate RAW-parameter move
+    # applied per training iteration is clamped to +-lcf_max_move (tanh'<=1,
+    # so the lcf_mean move per iteration is bounded by the same value;
+    # 0.002 ~ 0.18 deg/iter at the origin). Rationale (r4 VERDICT weak #2 /
+    # next #1): the meta-gradient is a first-order local signal whose early
+    # batches are crash-dominated; unconstrained Adam moved the LCF ~0.6
+    # deg/iter into the phi->90 deg collapse basin on tollgate (success
+    # pinned 0, entropy diverging) before any driving competence formed.
+    # Rate-limiting makes the LCF co-evolve with the policy on the policy's
+    # timescale; 0 disables (the reference applies no rail beyond the raw
+    # tanh/exp clamps, `torch_copo/algo_copo.py:170-179`, and its own
+    # tollgate runs half-collapse: published 27.19 +- 25.63).
+    lcf_max_move: float = 0.002
 
 
 @struct.dataclass
@@ -170,6 +183,16 @@ class CoPOTrainer(IPPOTrainer):
             iter_fn, (state.params["lcf"], state.lcf_opt_state), iter_keys
         )
         meta_stats = jax.tree_util.tree_map(jnp.mean, meta_stats)
+        if cfg.lcf_max_move > 0:
+            # trust region: clamp the per-iteration aggregate raw-param move
+            # (see CoPOConfig.lcf_max_move); Adam state keeps its unclamped
+            # trajectory, which only makes the clamp bind sooner next iter
+            old_lcf = state.params["lcf"]
+            lcf_params = jax.tree_util.tree_map(
+                lambda new, old: old + jnp.clip(
+                    new - old, -cfg.lcf_max_move, cfg.lcf_max_move),
+                lcf_params, old_lcf,
+            )
 
         new_params = dict(state.params, lcf=lcf_params)
         new_mean, new_std = lcf_mean(new_params), lcf_std(new_params)

@@ -141,7 +141,18 @@ if __name__ == "__main__":
                     kw = {"map_seed": seed}
                     if algo == "copo":
                         kw["lcf_enabled"] = True
-                    trainer.scene, trainer.env_cfg = make_scene(env, **kw)
+                    new_scene, new_cfg = make_scene(env, **kw)
+                    # the jitted phases closed over env_cfg at trace time:
+                    # a swapped cfg may differ ONLY in the scene_kwargs
+                    # metadata stamp, or the compiled program would silently
+                    # ignore it (r4 advice)
+                    import dataclasses as _dc
+                    assert _dc.replace(
+                        new_cfg, scene_kwargs=trainer.env_cfg.scene_kwargs
+                    ) == trainer.env_cfg, (
+                        "per-seed env_cfg diverged beyond scene_kwargs; "
+                        "rebuild the trainer instead of swapping the scene")
+                    trainer.scene, trainer.env_cfg = new_scene, new_cfg
                 if trial_done(tdir, iters):
                     print(f"=== {trial}: done, skipping", flush=True)
                     continue

@@ -217,3 +217,23 @@ def test_tollgate_stop_and_wait_mechanics():
         assert not bool(np.asarray(out.info.crash).any()), \
             "paid vehicle must not hit the barrier"
     assert arrived, "paid vehicle should reach its destination"
+
+
+def test_static_lidar_beam_orientation_matches_vehicle_beams():
+    """Regression (r4 advice): with `lidar_see_static=True` the static-wall
+    beams must share the vehicle beams' CLOCKWISE-from-heading order. The
+    invariant: the ring fast-path equals the general `sample_field` path
+    evaluated at exactly `beam_angles` (the angles the vehicle lidar uses),
+    for several headings — any stale CCW->CW compensation re-mirrors one of
+    the two and breaks this."""
+    from copo_tpu.envs.lidar import beam_angles, sample_field, static_lidar
+
+    scene, cfg = make_scene("intersection", num_agents=4)
+    pos = jnp.array([[10.0, -3.0], [-20.0, 1.5], [3.0, 18.0], [0.0, -30.0]])
+    for h in (0.0, 1.1, -2.4, 3.0):
+        heading = jnp.full((4,), h)
+        ring = static_lidar(scene, cfg, pos, heading)
+        ref = sample_field(scene, pos, beam_angles(cfg, heading),
+                           cfg.lidar_distance)
+        np.testing.assert_allclose(np.asarray(ring), np.asarray(ref),
+                                   rtol=0, atol=2e-3)

@@ -46,11 +46,16 @@ def test_routes_drivable(name):
     for r in range(xy.shape[0]):
         p = xy[r, : n_valid[r]]
         seg = np.diff(p, axis=0)
-        # uniform spacing
-        np.testing.assert_allclose(
-            np.linalg.norm(seg, axis=1), WAYPOINT_SPACING, atol=5e-2,
-            err_msg=f"{name} route {r} spacing",
-        )
+        # uniform ARC-length spacing, measured by chords: on a curve of
+        # radius R a 2.0 m arc step has chord 2R*sin(1/R) < 2.0 (1.92 at
+        # the parking bound R=2.0, 1.95 at the bottleneck funnel R=3.5),
+        # so the lower bound must admit chord shortening; the upper bound
+        # stays tight (chords can never exceed the arc step)
+        d = np.linalg.norm(seg, axis=1)
+        assert d.max() <= WAYPOINT_SPACING + 5e-2, (
+            f"{name} route {r} spacing: max {d.max():.3f}")
+        assert d.min() >= 2.0 * 2.0 * np.sin(WAYPOINT_SPACING / (2 * 2.0)) - 5e-2, (
+            f"{name} route {r} spacing: min {d.min():.3f}")
         h = np.arctan2(seg[:, 1], seg[:, 0])
         dh = np.abs(np.arctan2(np.sin(np.diff(h)), np.cos(np.diff(h))))
         curv = dh / WAYPOINT_SPACING
@@ -58,8 +63,10 @@ def test_routes_drivable(name):
         # parking's near-perpendicular bay swings are INTENTIONALLY below
         # the single-sweep turning radius: entering a 2.7 m spot from the
         # 3.5 m aisle demands reverse-assisted maneuvering (the published
-        # 12-21% difficulty band; the only scene with enable_reverse)
-        bound = 2.0 if name == "parking" else MIN_TURN_RADIUS
+        # 12-21% difficulty band; the only scene with enable_reverse).
+        # Bound 1.95, not 2.0: the bays are built from nominal-2.0 m arcs
+        # whose 2-m-chord discretization measures 1.997 by this estimator.
+        bound = 1.95 if name == "parking" else MIN_TURN_RADIUS
         assert radius > bound, f"{name} route {r}: min radius {radius:.1f} m"
 
 
