@@ -25,7 +25,9 @@ from copo_tpu.algos.ppo import masked_mean
 from copo_tpu.envs.config import EnvConfig, EnvParams
 from copo_tpu.envs.scene import SceneData
 from copo_tpu.models.mlp import lcf_mean, lcf_std
-from copo_tpu.runtime.trainer import IPPOTrainer, TrainerConfig, TrainState, standardized
+from copo_tpu.runtime.trainer import (IPPOTrainer, TrainerConfig, TrainState,
+                                      shard_minibatch_geometry,
+                                      shard_minibatch_layout, standardized)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -140,18 +142,20 @@ class CoPOTrainer(IPPOTrainer):
     def extra_update(self, state: CoPOTrainState, traj, stats):
         cfg = self.cfg
         T, B, N = traj["valid"].shape
-        M = T * B * N
         keys = [
             "obs", "actions", "logp_old", "global_advantages",
             "normalized_ego_advantages", "advantages", "nei_advantage",
             "valid",
         ]
-        data = {k: traj[k].reshape((M,) + traj[k].shape[3:]) for k in keys}
+        # shard-friendly minibatches: keep the mesh-sharded env axis B whole,
+        # chunk the local T*N axis (same rationale as `_learn_phase`)
+        data, K = shard_minibatch_layout(traj, keys)
         mb = cfg.lcf_sgd_minibatch_size or cfg.sgd_minibatch_size
-        mb = min(mb, M)
-        nmb = max(M // mb, 1)
+        c, nmb = shard_minibatch_geometry(mb, B, K)
         chunks = jax.tree_util.tree_map(
-            lambda x: x[: nmb * mb].reshape((nmb, mb) + x.shape[1:]), data
+            lambda x: jnp.moveaxis(
+                x[:, : nmb * c].reshape((B, nmb, c) + x.shape[2:]), 1, 0),
+            data,
         )
 
         params = state.params

@@ -87,6 +87,29 @@ def standardized(x, mask):
     return (x - m) * mask / jnp.maximum(jnp.sqrt(var), 1e-4)
 
 
+def shard_minibatch_layout(traj, keys):
+    """(T, B, N, ...) trajectory fields -> (B, T*N, ...) + column count.
+
+    The env axis B is the mesh-sharded dimension; minibatching slices the
+    local T*N column axis so a sharded batch never crosses devices (see
+    `_learn_phase` — a flat global layout forced GSPMD to all-gather and
+    replicate the SGD work)."""
+    T, B, N = traj["valid"].shape
+    K = T * N
+    data = {
+        k: jnp.moveaxis(traj[k], 1, 0).reshape((B, K) + traj[k].shape[3:])
+        for k in keys
+    }
+    return data, K
+
+
+def shard_minibatch_geometry(minibatch_size, B, K):
+    """Columns per minibatch (c) and minibatch count so that B*c ~= the
+    configured agent-step minibatch size (exact when it divides by B)."""
+    c = max(min(minibatch_size // B, K), 1)
+    return c, max(K // c, 1)
+
+
 class IPPOTrainer:
     """Independent PPO with one shared policy over every agent slot."""
 
@@ -201,30 +224,38 @@ class IPPOTrainer:
         if not cc_is_ego:
             flat_keys.append("cc_obs")
         T, B, N = traj["valid"].shape
-        M = T * B * N
-        data = {
-            k: traj[k].reshape((M,) + traj[k].shape[3:]) for k in flat_keys
-        }
-        mb = min(cfg.sgd_minibatch_size, M)
-        nmb = max(M // mb, 1)
+        # Shard-friendly layout (r5): keep the env axis B — the dimension
+        # sharded over the device mesh — intact, and shuffle/minibatch along
+        # the LOCAL T*N axis. A global permutation of the flat T*B*N batch
+        # would make GSPMD all-gather the whole trajectory to every device
+        # and replicate the SGD compute (measured 4.6x worse-than-serial on
+        # the virtual 8-device mesh); with B kept whole, each device grads
+        # its own shard and the only collective is the psum on grads. Every
+        # minibatch still mixes all envs (a (B, c) column slice), and the
+        # per-epoch reshuffle semantics (RLlib minibatch iterator) remain.
+        data, K = shard_minibatch_layout(traj, flat_keys)
+        c, nmb = shard_minibatch_geometry(cfg.sgd_minibatch_size, B, K)
 
         loss_cfg = cfg.loss
         value_heads = self.value_heads
         tx = self.tx
 
         if cfg.shuffle == "once":
-            perm = jax.random.permutation(k_sgd, M)
-            data = jax.tree_util.tree_map(lambda x: x[perm], data)
+            perm = jax.random.permutation(k_sgd, K)
+            data = jax.tree_util.tree_map(lambda x: x[:, perm], data)
 
         def epoch_fn(carry, k):
             params, opt_state = carry
             if cfg.shuffle == "epoch":
-                perm = jax.random.permutation(k, M)
-                epoch_data = jax.tree_util.tree_map(lambda x: x[perm], data)
+                perm = jax.random.permutation(k, K)
+                epoch_data = jax.tree_util.tree_map(lambda x: x[:, perm], data)
             else:
                 epoch_data = data
             chunked = jax.tree_util.tree_map(
-                lambda x: x[: nmb * mb].reshape((nmb, mb) + x.shape[1:]), epoch_data
+                lambda x: jnp.moveaxis(
+                    x[:, : nmb * c].reshape(
+                        (x.shape[0], nmb, c) + x.shape[2:]), 1, 0),
+                epoch_data,
             )
 
             def mb_fn(carry, batch):
