@@ -130,7 +130,14 @@ def build_roundabout(num_agents: int | None = None, **cfg_overrides):
             half_widths.append([
                 (0.0, y0, ROAD_HW - y0),
                 (ARM - 4.0, ROAD_HW, ROAD_HW),
-                (total_len - ARM + 12.0, LANE_W / 2, ROAD_HW - LANE_W / 2),
+                # the exit arm's yellow-line bound starts 14 m PAST the
+                # blend->straight junction: MetaDrive's arm mouth is a
+                # junction block without a continuous line, and the shipped
+                # copo_round policy settles onto the outbound lane with a
+                # 1-2 m left overshoot exactly there — ejecting at the
+                # junction point was the residual drain-phase OOR behind the
+                # 0.56-vs-0.86 cross-eval gap (r4 VERDICT missing #4)
+                (total_len - ARM + 26.0, LANE_W / 2, ROAD_HW - LANE_W / 2),
             ])
             lane_routes.setdefault((k, lane), []).append(idx)
 
