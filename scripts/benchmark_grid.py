@@ -108,12 +108,27 @@ if __name__ == "__main__":
     p.add_argument("--table", action="store_true")
     p.add_argument("--steps", type=int, default=STEPS)
     p.add_argument("--cl-steps", type=int, default=CL_STEPS)
+    p.add_argument("--skip-suite-check", action="store_true",
+                   help="skip the pre-grid pytest gate (use only when the "
+                        "suite was just run green by hand)")
     args = p.parse_args()
     STEPS, CL_STEPS = args.steps, args.cl_steps
 
     if args.table:
         print_table(args.root)
         sys.exit(0)
+
+    if not args.skip_suite_check:
+        # refuse to burn hours of grid compute on a red test suite (r4
+        # snapshotted red; VERDICT r4 next #5). Runs on CPU (conftest pins
+        # the platform), so it does not touch the TPU the grid will use.
+        import subprocess
+        print("=== pre-grid suite check (tests/, -x -q) ===", flush=True)
+        rc = subprocess.call(
+            [sys.executable, "-m", "pytest", "tests/", "-x", "-q"])
+        if rc != 0:
+            sys.exit("test suite is RED - fix it (or pass "
+                     "--skip-suite-check) before running the grid")
 
     import jax
 

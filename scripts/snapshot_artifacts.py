@@ -128,7 +128,18 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--root", default="results/r3_bench")
     p.add_argument("--tag", default="r3")
+    p.add_argument("--skip-suite-check", action="store_true")
     args = p.parse_args()
+    if not args.skip_suite_check:
+        # never snapshot artifacts over a red suite (r4 shipped red;
+        # VERDICT r4 next #5)
+        import subprocess
+        import sys
+        rc = subprocess.call(
+            [sys.executable, "-m", "pytest", "tests/", "-x", "-q"])
+        if rc != 0:
+            raise SystemExit("test suite is RED - refusing to snapshot "
+                             "(--skip-suite-check to override)")
     out = snapshot(args.root, args.tag)
     print("snapshotted to", out)
     print(open(os.path.join(out, "benchmark_table.md")).read())
