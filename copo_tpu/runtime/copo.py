@@ -48,11 +48,23 @@ class CoPOConfig(TrainerConfig):
     # batches are crash-dominated; unconstrained Adam moved the LCF ~0.6
     # deg/iter into the phi->90 deg collapse basin on tollgate (success
     # pinned 0, entropy diverging) before any driving competence formed.
-    # Rate-limiting makes the LCF co-evolve with the policy on the policy's
-    # timescale; 0 disables (the reference applies no rail beyond the raw
-    # tanh/exp clamps, `torch_copo/algo_copo.py:170-179`, and its own
-    # tollgate runs half-collapse: published 27.19 +- 25.63).
-    lcf_max_move: float = 0.002
+    # This is not just a rail — it is REALIZED-RATE parity: the reference's
+    # shipped CoPO intersection trial moves its SVO 0 -> 20.3 deg over the
+    # whole 1M-step run (~0.033 deg/iter, `eval/demo_raw_checkpoints/.../
+    # progress.csv` info/current_svo_deg), i.e. its Ray-gathered minibatch
+    # pushes are strongly sign-BALANCED (net ~1% of the 300-meta-steps/iter
+    # potential). Our synchronized 32-env batches are temporally coherent,
+    # which makes the pushes sign-coherent (realized 0.6 deg/iter, 20x the
+    # reference's), so the cap restores the reference's effective LCF
+    # timescale; capped runs land lcf ~5-22 deg on intersection vs the
+    # shipped trial's 20.3. 0 disables (the reference applies no explicit
+    # rail beyond the raw tanh/exp clamps, `torch_copo/algo_copo.py:170-179`,
+    # and its own tollgate runs half-collapse: published 27.19 +- 25.63).
+    # Default 0.001 from the r5 probe grid: tollgate 69.0% mean (3 seeds,
+    # vs 29.4 at 0.002 and 4.0 uncapped; our IPPO 60.8), intersection peak
+    # 0.737 — the reference's own best seeds peak early at LOW SVO (6-8 deg)
+    # exactly as 0.001 reproduces.
+    lcf_max_move: float = 0.001
 
 
 @struct.dataclass
