@@ -60,11 +60,20 @@ class CoPOConfig(TrainerConfig):
     # shipped trial's 20.3. 0 disables (the reference applies no explicit
     # rail beyond the raw tanh/exp clamps, `torch_copo/algo_copo.py:170-179`,
     # and its own tollgate runs half-collapse: published 27.19 +- 25.63).
-    # Default 0.001 from the r5 probe grid: tollgate 69.0% mean (3 seeds,
-    # vs 29.4 at 0.002 and 4.0 uncapped; our IPPO 60.8), intersection peak
-    # 0.737 — the reference's own best seeds peak early at LOW SVO (6-8 deg)
-    # exactly as 0.001 reproduces.
-    lcf_max_move: float = 0.001
+    # r5 probe grid over fixed caps: tollgate wants a tight cap (69.0% mean
+    # at 0.001 vs 29.4 at 0.002 and 4.0 uncapped; our IPPO 60.8) because its
+    # policy is incompetent for the first ~200 iterations and any LCF
+    # movement then is crash-noise; bottleneck/intersection want a loose one
+    # (bottleneck 91.4 with fast LCF->22 deg vs 79.4 at 0.001) because they
+    # are competent early and genuinely profit from the climb. `success`
+    # gating serves both: the cap scales with the batch's own success rate,
+    # freezing the LCF while the policy cannot drive and releasing it as
+    # competence grows.
+    lcf_max_move: float = 0.004
+    # "success": effective cap = lcf_max_move * batch success rate (arrive
+    # fraction of episodes finished this iteration; 0 when none finish).
+    # "none": fixed cap.
+    lcf_gate: str = "success"
 
 
 @struct.dataclass
@@ -203,10 +212,17 @@ class CoPOTrainer(IPPOTrainer):
             # trust region: clamp the per-iteration aggregate raw-param move
             # (see CoPOConfig.lcf_max_move); Adam state keeps its unclamped
             # trajectory, which only makes the clamp bind sooner next iter
+            cap = jnp.float32(cfg.lcf_max_move)
+            if cfg.lcf_gate == "success":
+                done = traj["done"] & traj["valid"]
+                n_done = jnp.sum(done)
+                succ = jnp.sum(
+                    jnp.where(done, traj["info"].arrive_dest, 0.0)
+                ) / jnp.maximum(n_done, 1)
+                cap = cap * jnp.clip(succ, 0.0, 1.0)
             old_lcf = state.params["lcf"]
             lcf_params = jax.tree_util.tree_map(
-                lambda new, old: old + jnp.clip(
-                    new - old, -cfg.lcf_max_move, cfg.lcf_max_move),
+                lambda new, old: old + jnp.clip(new - old, -cap, cap),
                 lcf_params, old_lcf,
             )
 

@@ -139,7 +139,8 @@ class TrialLogger:
 def run_trial(trainer, num_iters: int, trial_dir: str, *,
               checkpoint_freq: int = 10, keep_checkpoints: int = 5,
               log_every: int = 1, verbose: bool = True, state=None,
-              resume: bool = True, init_key=None) -> dict:
+              resume: bool = True, init_key=None,
+              wandb_project: str | None = None) -> dict:
     """Train one trial to completion with logging + top-K checkpointing.
 
     With `resume` (default), a trial directory holding checkpoints continues
@@ -166,6 +167,15 @@ def run_trial(trainer, num_iters: int, trial_dir: str, *,
     logger = TrialLogger(trial_dir, {"trainer": cfg_dict, "env": env_dict,
                                      "algo": type(trainer).__name__},
                          resume=start_it > 0)
+    wb = None
+    if wandb_project:
+        # reference parity: optional W&B logging of every result row
+        # (`torch_copo/utils/train.py:113-176`); offline-first here —
+        # see utils/wandb_log.py
+        from copo_tpu.utils.wandb_log import wandb_init
+        wb = wandb_init(wandb_project, os.path.basename(trial_dir),
+                        {"trainer": cfg_dict, "env": env_dict},
+                        root=trial_dir)
     state = trainer.init_state(init_key) if state is None else state
     kept: list[tuple[float, str]] = []   # (score, path)
     env_steps = 0
@@ -194,6 +204,9 @@ def run_trial(trainer, num_iters: int, trial_dir: str, *,
                         "time_total_s": time.time() - t0}
         if it % log_every == 0:
             logger.log(last_metrics)
+            if wb is not None:
+                wb.log({k: v for k, v in last_metrics.items()
+                        if isinstance(v, (int, float))}, step=it)
         if verbose and (it % log_every == 0):
             print(" | ".join(
                 f"{row[c]:9.3f}" if isinstance(row[c], float) else f"{row[c]:>9}"
@@ -214,6 +227,8 @@ def run_trial(trainer, num_iters: int, trial_dir: str, *,
     # checkpoint_at_end (train/train.py:102)
     save_checkpoint(os.path.join(trial_dir, "checkpoints"), state, num_iters)
     logger.close()
+    if wb is not None:
+        wb.finish()
     with open(os.path.join(trial_dir, "final_metrics.pkl"), "wb") as f:
         pickle.dump(last_metrics, f)
     return {"state": state, "metrics": last_metrics, "best_success": best_success}

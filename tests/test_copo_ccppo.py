@@ -67,8 +67,10 @@ def test_ccppo_train_iter(fuse):
 def copo_setup():
     scene, env_cfg = make_scene("intersection", num_agents=6, horizon=100,
                                 lcf_enabled=True)
+    # lcf_gate="none": these tests assert the meta-update mechanics; the
+    # success gate would freeze the LCF in a tiny zero-success batch
     cfg = CoPOConfig(num_envs=2, rollout_T=10, sgd_minibatch_size=32,
-                     num_sgd_iter=2, lcf_num_iters=2)
+                     num_sgd_iter=2, lcf_num_iters=2, lcf_gate="none")
     return CoPOTrainer(scene, env_cfg, cfg)
 
 
@@ -110,7 +112,8 @@ def test_copo_use_global_value_false():
     scene, env_cfg = make_scene("intersection", num_agents=6, horizon=100,
                                 lcf_enabled=True)
     cfg = CoPOConfig(num_envs=2, rollout_T=10, sgd_minibatch_size=32,
-                     num_sgd_iter=2, lcf_num_iters=2, use_global_value=False)
+                     num_sgd_iter=2, lcf_num_iters=2, use_global_value=False,
+                     lcf_gate="none")
     tr = CoPOTrainer(scene, env_cfg, cfg)
     state = tr.init_state()
     lcf0 = np.asarray(state.params["lcf"]).copy()
@@ -123,3 +126,20 @@ def test_copo_requires_lcf_env():
     scene, env_cfg = make_scene("intersection", num_agents=6)
     with pytest.raises(ValueError):
         CoPOTrainer(scene, env_cfg, CoPOConfig())
+
+
+def test_copo_success_gate_freezes_lcf_without_success():
+    """lcf_gate="success": the trust-region cap scales with the batch's own
+    success rate — a batch in which no agent arrives must leave the LCF
+    parameters untouched (the r5 anti-collapse rail: no blind LCF movement
+    before driving competence exists)."""
+    scene, env_cfg = make_scene("intersection", num_agents=6, horizon=100,
+                                lcf_enabled=True)
+    cfg = CoPOConfig(num_envs=2, rollout_T=10, sgd_minibatch_size=32,
+                     num_sgd_iter=2, lcf_num_iters=2, lcf_gate="success")
+    tr = CoPOTrainer(scene, env_cfg, cfg)
+    state = tr.init_state()
+    lcf0 = np.asarray(state.params["lcf"]).copy()
+    state, m = tr.train_iter(state)
+    # 20 random steps of 6 fresh agents: nobody arrives -> cap = 0
+    np.testing.assert_array_equal(np.asarray(state.params["lcf"]), lcf0)

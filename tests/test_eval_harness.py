@@ -179,3 +179,21 @@ def test_npz_lcf_dist_roundtrip(tmp_path):
     export_policy_npz(params, p, lcf_dist=(0.37, 0.09))
     loaded = load_policy_npz(p)
     assert loaded["lcf_dist"] == (np.float32(0.37), np.float32(0.09))
+
+
+def test_wandb_offline_logger(tmp_path):
+    """Offline W&B-compatible run dir (SURVEY item 15 wandb integration):
+    config.json + history.jsonl per log() + summary.json on finish."""
+    import json
+    import os
+
+    from copo_tpu.utils.wandb_log import wandb_init
+
+    run = wandb_init("proj", "trial_x", {"lr": 3e-4}, root=str(tmp_path))
+    run.log({"success": 0.5, "iter": 1})
+    run.log({"success": 0.7, "iter": 2})
+    run.finish()
+    assert json.load(open(os.path.join(run.dir, "config.json")))["lr"] == 3e-4
+    rows = [json.loads(l) for l in open(os.path.join(run.dir, "history.jsonl"))]
+    assert len(rows) == 2 and rows[1]["success"] == 0.7
+    assert json.load(open(os.path.join(run.dir, "summary.json")))["success"] == 0.7
