@@ -85,11 +85,14 @@ def navi_block(scene: SceneData, cfg: EnvConfig, pos, heading, route_idx, s):
 
     feats = []
     cos_h, sin_h = jnp.cos(heading), jnp.sin(heading)
-    for ck_s, prev_s in ((ck1_s, s), (ck2_s, ck1_s)):
-        ck_pos, _, _ = route_point_at(scene, route_idx, ck_s)
-        _, _, curv = route_point_at(
-            scene, route_idx, 0.5 * (prev_s + ck_s)
-        )
+    # one batched route query for all 4 points (2 checkpoints + 2 segment
+    # midpoints) instead of 4 separate gathers — see route_point_at
+    s_all = jnp.stack(
+        [ck1_s, ck2_s, 0.5 * (s + ck1_s), 0.5 * (ck1_s + ck2_s)], axis=-1)
+    pts_all, _, curv_all = route_point_at(scene, route_idx[..., None], s_all)
+    for i, (ck_s, prev_s) in enumerate(((ck1_s, s), (ck2_s, ck1_s))):
+        ck_pos = pts_all[..., i, :]
+        curv = curv_all[..., 2 + i]
         rel = ck_pos - pos
         fwd = rel[..., 0] * cos_h + rel[..., 1] * sin_h
         left = -rel[..., 0] * sin_h + rel[..., 1] * cos_h

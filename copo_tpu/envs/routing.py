@@ -78,19 +78,25 @@ def locate_on_route(scene: SceneData, route_idx, waypoint_idx, pos):
 def route_point_at(scene: SceneData, route_idx, s):
     """Position, heading, and curvature on a route at arc length s (clamped).
 
-    Shares the route_win gather with locate_on_route: points (seg, seg+1,
-    seg+2) are window slots WINDOW_BACK..WINDOW_BACK+2 of the row anchored at
-    seg (one row gather instead of three scattered point gathers)."""
+    Gathers only the 3 points it needs — window slots WINDOW_BACK..+2 of
+    the baked route_win table, sliced BEFORE the gather so the row is 6
+    floats instead of 18. `s` may carry extra trailing batch dims (with
+    `route_idx` broadcast against them): navi batches its 4 queries per
+    agent into one call — 4 gather ops -> 1 (r5 bisect: the navi block was
+    ~23% of the rollout step at B=512)."""
     n_valid = scene.route_n_valid[route_idx]
     max_seg = n_valid - 2
     raw = s / WAYPOINT_SPACING
     seg = jnp.clip(raw.astype(jnp.int32), 0, max_seg)
     t = jnp.clip(raw - seg.astype(jnp.float32), 0.0, 1.0)
 
-    win = _window_rows(scene, route_idx, seg)          # (..., W+1, 2)
-    a = win[..., WINDOW_BACK, :]
-    b = win[..., WINDOW_BACK + 1, :]
-    c = win[..., WINDOW_BACK + 2, :]
+    P = scene.route_win.shape[1]
+    flat3 = scene.route_win[:, :, WINDOW_BACK:WINDOW_BACK + 3, :].reshape(
+        (-1, 3, 2))
+    win = flat3[route_idx * P + jnp.clip(seg, 0, P - 1)]   # (..., 3, 2)
+    a = win[..., 0, :]
+    b = win[..., 1, :]
+    c = win[..., 2, :]
     point = a + t[..., None] * (b - a)
     d1 = b - a
     d2 = c - b
