@@ -39,7 +39,6 @@ import jax.numpy as jnp
 from copo_tpu.envs.config import EnvConfig
 from copo_tpu.envs.dynamics import wrap_angle
 from copo_tpu.envs.lidar import static_detector
-from copo_tpu.envs.routing import route_point_at
 from copo_tpu.envs.scene import SceneData
 
 def _to01(x):
@@ -69,8 +68,9 @@ def navi_block(scene: SceneData, cfg: EnvConfig, pos, heading, route_idx, s):
     shipped policies never received a correction signal). The projection
     vector saturates in NORM at 50 m (direction preserved), then each
     component maps (x/50+1)/2. Bend dims describe the segment being
-    traversed TOWARD each checkpoint (curvature probed at its midpoint),
-    encoded as MetaDrive encodes CircularLane/StraightLane checkpoints.
+    traversed TOWARD each checkpoint (baked constant per-segment curvature,
+    scene.route_ckpt_curv), encoded as MetaDrive encodes CircularLane/
+    StraightLane checkpoints.
     Chirality (right-positive side, clockwise flag) picked by
     cross-evaluating the reference's shipped npz policies.
     """
@@ -82,17 +82,20 @@ def navi_block(scene: SceneData, cfg: EnvConfig, pos, heading, route_idx, s):
     idx2 = jnp.minimum(idx1 + 1, C - 1)
     ck1_s = jnp.take_along_axis(ck_tab, idx1[..., None], -1)[..., 0]
     ck2_s = jnp.take_along_axis(ck_tab, idx2[..., None], -1)[..., 0]
+    # baked per-checkpoint position + segment curvature tables (constant
+    # block curvature — MetaDrive's checkpoint lanes are Straight/Circular;
+    # replaces 4 route_point_at window gathers per agent per step, ~30% of
+    # the rollout step at B=512)
+    ck_xy = scene.route_ckpt_xy[route_idx]                   # (..., C, 2)
+    ck_cv = scene.route_ckpt_curv[route_idx]                 # (..., C)
+    pos1 = jnp.take_along_axis(ck_xy, idx1[..., None, None], -2)[..., 0, :]
+    pos2 = jnp.take_along_axis(ck_xy, idx2[..., None, None], -2)[..., 0, :]
+    curv1 = jnp.take_along_axis(ck_cv, idx1[..., None], -1)[..., 0]
+    curv2 = jnp.take_along_axis(ck_cv, idx2[..., None], -1)[..., 0]
 
     feats = []
     cos_h, sin_h = jnp.cos(heading), jnp.sin(heading)
-    # one batched route query for all 4 points (2 checkpoints + 2 segment
-    # midpoints) instead of 4 separate gathers — see route_point_at
-    s_all = jnp.stack(
-        [ck1_s, ck2_s, 0.5 * (s + ck1_s), 0.5 * (ck1_s + ck2_s)], axis=-1)
-    pts_all, _, curv_all = route_point_at(scene, route_idx[..., None], s_all)
-    for i, (ck_s, prev_s) in enumerate(((ck1_s, s), (ck2_s, ck1_s))):
-        ck_pos = pts_all[..., i, :]
-        curv = curv_all[..., 2 + i]
+    for ck_pos, curv in ((pos1, curv1), (pos2, curv2)):
         rel = ck_pos - pos
         fwd = rel[..., 0] * cos_h + rel[..., 1] * sin_h
         left = -rel[..., 0] * sin_h + rel[..., 1] * cos_h

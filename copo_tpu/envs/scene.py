@@ -53,6 +53,15 @@ class SceneData:
     #     two checkpoints into the ego frame; (R, C) arc lengths per route,
     #     padded with route_len) ---
     route_ckpt_s: jnp.ndarray    # (R, C)
+    # Baked checkpoint positions + representative curvature of the segment
+    # ENDING at each checkpoint (median of polyline curvature samples over
+    # the segment — MetaDrive's checkpoint lanes are StraightLane /
+    # CircularLane with CONSTANT curvature, so a per-segment constant is
+    # both more faithful than midpoint polyline sampling (resampling noise;
+    # see observation.CURV_EPS) and removes the navi block's per-step
+    # route_point_at window gathers (~30% of the rollout step at B=512).
+    route_ckpt_xy: jnp.ndarray    # (R, C, 2)
+    route_ckpt_curv: jnp.ndarray  # (R, C)
 
     # --- spawn points (destination == end of assigned route) ---
     spawn_xy: jnp.ndarray        # (S, 2) physical spawn location
@@ -255,6 +264,27 @@ def compile_scene(spec: SceneBuildSpec) -> SceneData:
         pts = np.clip(p_idx - geo.WINDOW_BACK + k_idx, 0, int(n_valid[r]) - 1)
         route_win[r] = route_xy[r][pts]
 
+    # baked navi checkpoint positions + per-segment curvature
+    # (see SceneData.route_ckpt_xy/route_ckpt_curv)
+    C2 = ckpt_s.shape[1]
+    ckpt_xy = np.zeros((R, C2, 2), np.float32)
+    ckpt_curv = np.zeros((R, C2), np.float32)
+    for r in range(R):
+        pts = route_xy[r][: int(n_valid[r])]
+        seg_d = np.diff(pts.astype(np.float64), axis=0)
+        h = np.arctan2(seg_d[:, 1], seg_d[:, 0])
+        dh = np.arctan2(np.sin(np.diff(h)), np.cos(np.diff(h)))
+        curv = dh / geo.WAYPOINT_SPACING                 # (n_valid-2,)
+        prev = 0.0
+        for c in range(C2):
+            s_ck = float(ckpt_s[r, c])
+            ckpt_xy[r, c], _ = _interp_on_route(pts.astype(np.float32), s_ck)
+            i0 = int(np.clip(prev / geo.WAYPOINT_SPACING, 0, len(curv) - 1))
+            i1 = int(np.clip(s_ck / geo.WAYPOINT_SPACING, i0 + 1, len(curv)))
+            seg_curv = curv[i0:i1]
+            ckpt_curv[r, c] = float(np.median(seg_curv)) if len(seg_curv) else 0.0
+            prev = s_ck
+
     return SceneData(
         route_xy=jnp.asarray(route_xy),
         route_len=jnp.asarray(route_len),
@@ -263,6 +293,8 @@ def compile_scene(spec: SceneBuildSpec) -> SceneData:
         route_left_bound=jnp.asarray(lb), route_right_bound=jnp.asarray(rb),
         route_win=jnp.asarray(route_win),
         route_ckpt_s=jnp.asarray(ckpt_s),
+        route_ckpt_xy=jnp.asarray(ckpt_xy),
+        route_ckpt_curv=jnp.asarray(ckpt_curv),
         spawn_xy=jnp.asarray(spawn_xy),
         spawn_heading=jnp.asarray(spawn_heading),
         spawn_routes=jnp.asarray(spawn_routes),
