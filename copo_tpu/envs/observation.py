@@ -74,24 +74,24 @@ def navi_block(scene: SceneData, cfg: EnvConfig, pos, heading, route_idx, s):
     Chirality (right-positive side, clockwise flag) picked by
     cross-evaluating the reference's shipped npz policies.
     """
-    ck_tab = scene.route_ckpt_s[route_idx]                   # (..., C)
+    # ONE gather: the fused checkpoint table [s, x, y, curv] row per agent
+    # (see SceneData.route_ckpt_tab — gather-op count was the navi cost);
+    # the next-checkpoint selection is then one-hot contractions over the
+    # tiny C axis, which fuse as pure elementwise math
+    tab = scene.route_ckpt_tab[route_idx]                    # (..., C, 4)
+    ck_tab = tab[..., 0]                                     # (..., C)
     C = ck_tab.shape[-1]
     ahead = ck_tab > (s + 2.0)[..., None]
     idx1 = jnp.argmax(ahead, axis=-1)
     idx1 = jnp.where(jnp.any(ahead, axis=-1), idx1, C - 1)
     idx2 = jnp.minimum(idx1 + 1, C - 1)
-    ck1_s = jnp.take_along_axis(ck_tab, idx1[..., None], -1)[..., 0]
-    ck2_s = jnp.take_along_axis(ck_tab, idx2[..., None], -1)[..., 0]
-    # baked per-checkpoint position + segment curvature tables (constant
-    # block curvature — MetaDrive's checkpoint lanes are Straight/Circular;
-    # replaces 4 route_point_at window gathers per agent per step, ~30% of
-    # the rollout step at B=512)
-    ck_xy = scene.route_ckpt_xy[route_idx]                   # (..., C, 2)
-    ck_cv = scene.route_ckpt_curv[route_idx]                 # (..., C)
-    pos1 = jnp.take_along_axis(ck_xy, idx1[..., None, None], -2)[..., 0, :]
-    pos2 = jnp.take_along_axis(ck_xy, idx2[..., None, None], -2)[..., 0, :]
-    curv1 = jnp.take_along_axis(ck_cv, idx1[..., None], -1)[..., 0]
-    curv2 = jnp.take_along_axis(ck_cv, idx2[..., None], -1)[..., 0]
+    ar = jnp.arange(C, dtype=idx1.dtype)
+    hot1 = (ar == idx1[..., None]).astype(tab.dtype)         # (..., C)
+    hot2 = (ar == idx2[..., None]).astype(tab.dtype)
+    sel1 = jnp.sum(tab * hot1[..., None], axis=-2)           # (..., 4)
+    sel2 = jnp.sum(tab * hot2[..., None], axis=-2)
+    pos1, curv1 = sel1[..., 1:3], sel1[..., 3]
+    pos2, curv2 = sel2[..., 1:3], sel2[..., 3]
 
     feats = []
     cos_h, sin_h = jnp.cos(heading), jnp.sin(heading)

@@ -53,15 +53,19 @@ class SceneData:
     #     two checkpoints into the ego frame; (R, C) arc lengths per route,
     #     padded with route_len) ---
     route_ckpt_s: jnp.ndarray    # (R, C)
-    # Baked checkpoint positions + representative curvature of the segment
-    # ENDING at each checkpoint (median of polyline curvature samples over
-    # the segment — MetaDrive's checkpoint lanes are StraightLane /
-    # CircularLane with CONSTANT curvature, so a per-segment constant is
-    # both more faithful than midpoint polyline sampling (resampling noise;
-    # see observation.CURV_EPS) and removes the navi block's per-step
-    # route_point_at window gathers (~30% of the rollout step at B=512).
-    route_ckpt_xy: jnp.ndarray    # (R, C, 2)
-    route_ckpt_curv: jnp.ndarray  # (R, C)
+    # Baked checkpoint table [s, x, y, curv] per checkpoint — positions plus
+    # the representative curvature of the segment ENDING at each checkpoint
+    # (median of polyline curvature samples over the segment — MetaDrive's
+    # checkpoint lanes are StraightLane / CircularLane with CONSTANT
+    # curvature, so a per-segment constant is both more faithful than
+    # midpoint polyline sampling (resampling noise; see observation.
+    # CURV_EPS) and removes the navi block's per-step route_point_at window
+    # gathers). ONE fused row-gather per agent: TPU gathers carry a fixed
+    # per-op cost, so navi reads this single (C, 4) row and does its
+    # checkpoint selection as one-hot contractions over the tiny C axis
+    # (navi was ~28% of the rollout step at B=512 even with 3 split
+    # tables — the op count, not the bytes, was the cost).
+    route_ckpt_tab: jnp.ndarray   # (R, C, 4)
 
     # --- spawn points (destination == end of assigned route) ---
     spawn_xy: jnp.ndarray        # (S, 2) physical spawn location
@@ -293,8 +297,9 @@ def compile_scene(spec: SceneBuildSpec) -> SceneData:
         route_left_bound=jnp.asarray(lb), route_right_bound=jnp.asarray(rb),
         route_win=jnp.asarray(route_win),
         route_ckpt_s=jnp.asarray(ckpt_s),
-        route_ckpt_xy=jnp.asarray(ckpt_xy),
-        route_ckpt_curv=jnp.asarray(ckpt_curv),
+        route_ckpt_tab=jnp.asarray(np.concatenate(
+            [ckpt_s[..., None], ckpt_xy, ckpt_curv[..., None]],
+            axis=-1).astype(np.float32)),
         spawn_xy=jnp.asarray(spawn_xy),
         spawn_heading=jnp.asarray(spawn_heading),
         spawn_routes=jnp.asarray(spawn_routes),

@@ -195,12 +195,13 @@ def episode_result(raw) -> dict:
     }
 
 
-#: default cap on the post-horizon drain scan. MetaDrive's bound is the full
-#: max_step_per_agent (an agent spawned at the horizon could live 1000 more
-#: steps), but the field empties within a few hundred steps in practice —
-#: agents still alive past the cap simply go unreported for that episode,
-#: identical to the reference's per-agent max_step cut.
-DEFAULT_DRAIN_STEPS = 500
+#: default cap on the post-horizon drain scan: the full max_step_per_agent
+#: (an agent spawned just before the horizon may live up to its whole
+#: per-agent budget after it — MetaDrive's actual bound). The r4 value of
+#: 500 cut slow cooperative policies off mid-drive: copo_round left ~12 of
+#: 85 agents per episode unfinished (success 0.68 vs 0.83 with the full
+#: drain), which the reference protocol would have scored as arrivals.
+DEFAULT_DRAIN_STEPS = 1000
 
 
 def evaluate_policy(scene: SceneData, cfg: EnvConfig, params_or_policy,
