@@ -283,10 +283,29 @@ def compile_scene(spec: SceneBuildSpec) -> SceneData:
         for c in range(C2):
             s_ck = float(ckpt_s[r, c])
             ckpt_xy[r, c], _ = _interp_on_route(pts.astype(np.float32), s_ck)
-            i0 = int(np.clip(prev / geo.WAYPOINT_SPACING, 0, len(curv) - 1))
-            i1 = int(np.clip(s_ck / geo.WAYPOINT_SPACING, i0 + 1, len(curv)))
-            seg_curv = curv[i0:i1]
-            ckpt_curv[r, c] = float(np.median(seg_curv)) if len(seg_curv) else 0.0
+            # NET-SWEEP curvature: wrap(heading_end - heading_start) over the
+            # segment length — exactly MetaDrive's block encoding (bend dims
+            # carry the block's sweep angle). For CircularLane segments this
+            # IS the curvature; for S-shaped transition segments (the
+            # bottleneck funnel, lane merges) the net sweep is ~0 so they
+            # read straight, as the shipped policies expect. A median or a
+            # point sample picks up one lobe of the S and steers policies
+            # into the wall (r5 regression: bottleneck CoPO 0.92 -> 0.64
+            # before this was caught).
+            # boundary headings sampled just OUTSIDE the segment (the
+            # polyline piece ending at prev / starting at s_ck): with
+            # tangent-continuous joins an S-curve nets exactly 0 and an arc
+            # nets its full turn; interior sampling leaves a spurious
+            # residual on transition segments
+            i0 = int(np.clip(np.ceil(prev / geo.WAYPOINT_SPACING) - 1, 0,
+                             len(h) - 1)) if len(h) else 0
+            i1 = int(np.clip(np.floor(s_ck / geo.WAYPOINT_SPACING), i0,
+                             len(h) - 1)) if len(h) else 0
+            if len(h) and s_ck > prev + 1e-6:
+                sweep = np.arctan2(np.sin(h[i1] - h[i0]), np.cos(h[i1] - h[i0]))
+                ckpt_curv[r, c] = float(sweep / max(s_ck - prev, 1e-6))
+            else:
+                ckpt_curv[r, c] = 0.0
             prev = s_ck
 
     return SceneData(
