@@ -102,12 +102,21 @@ def _episode(scene: SceneData, cfg: EnvConfig, policy_fn, policy_params,
     # per-agent step budget of horizon survivors).
     keys = jax.random.split(k_run, cfg.horizon + drain_steps)
     (state, obs), rec = jax.lax.scan(step_fn, (state, obs), keys[:cfg.horizon])
-    if drain_steps > 0:
-        (state, _), rec2 = jax.lax.scan(
-            drained_step_fn, (state, obs), keys[cfg.horizon:]
+    # drain in <=500-step scan segments: one 1000-step drain scan on top of
+    # the horizon scan crashed the remote TPU worker (r5; program size), and
+    # segments keep the early-out granularity of the unbatched path
+    recs = [rec]
+    off = cfg.horizon
+    while off < cfg.horizon + drain_steps:
+        seg = min(500, cfg.horizon + drain_steps - off)
+        (state, obs), rec_i = jax.lax.scan(
+            drained_step_fn, (state, obs), keys[off:off + seg]
         )
+        recs.append(rec_i)
+        off += seg
+    if len(recs) > 1:
         rec = jax.tree_util.tree_map(
-            lambda a, b: jnp.concatenate([a, b], axis=0), rec, rec2
+            lambda *xs: jnp.concatenate(xs, axis=0), *recs
         )
     return {
         "total_agents": state.next_uid,
