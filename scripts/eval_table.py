@@ -31,17 +31,28 @@ def main():
 
     cells = {}   # (algo, env) -> list of (success, trial)
     for algo in sorted(os.listdir(args.root)):
-        summary = os.path.join(args.root, algo, "evaluate_results.csv")
-        if not os.path.exists(summary):
+        adir = os.path.join(args.root, algo)
+        if not os.path.isdir(adir):
             continue
-        with open(summary) as f:
-            for row in csv.DictReader(f):
-                trial = row["trial"]
-                m = re.match(r"[a-z_]+_([a-z]+)_seed\d+", trial)
-                if not m or m.group(1) not in ENVS:
-                    continue
-                cells.setdefault((algo, m.group(1)), []).append(
-                    (float(row["success_rate"]), trial))
+        # per-trial CSVs (one row per evaluated checkpoint): best checkpoint
+        # by mean success — robust to a partially-rewritten summary CSV
+        for fn in sorted(os.listdir(adir)):
+            m = re.match(r"([a-z_]+)_([a-z]+)_seed\d+\.csv$", fn)
+            if not m or m.group(2) not in ENVS:
+                continue
+            with open(os.path.join(adir, fn)) as f:
+                rows = list(csv.DictReader(f))
+            if not rows:
+                continue
+            # rows are per-EPISODE per checkpoint: best checkpoint by its
+            # MEAN episode success (the reference's best-checkpoint rule)
+            by_ck = {}
+            for r in rows:
+                by_ck.setdefault(r["checkpoint"], []).append(
+                    float(r["success_rate"]))
+            best = max(sum(v) / len(v) for v in by_ck.values())
+            cells.setdefault((algo, m.group(2)), []).append(
+                (best, fn[:-4]))
 
     table, md_rows = {}, []
     algos = sorted({a for a, _ in cells})
