@@ -236,15 +236,23 @@ def evaluate_policy(scene: SceneData, cfg: EnvConfig, params_or_policy,
     keys = jnp.stack([
         jax.random.PRNGKey(seed * 1000 + ep) for ep in range(num_episodes)
     ])
-    raw_all = jax.device_get(_jit_episode_batch(
-        scene, cfg, policy_fn, policy_params, env_params, keys, drain_steps
-    ))
+    # dispatch episodes in chunks: the full 20-episode vmap of a 40-agent
+    # 2000-step program crashed the remote TPU worker on the heaviest
+    # scenes (r5); 5-episode chunks keep the program well inside its
+    # envelope at a negligible dispatch cost (results identical — the
+    # per-episode keys are unchanged)
+    chunk = 5
     rows = []
-    for ep in range(num_episodes):
-        raw = jax.tree_util.tree_map(lambda a: a[ep], raw_all)
-        row = episode_result(raw)
-        row["episode"] = ep
-        rows.append(row)
+    for c0 in range(0, num_episodes, chunk):
+        kc = keys[c0:c0 + chunk]
+        raw_all = jax.device_get(_jit_episode_batch(
+            scene, cfg, policy_fn, policy_params, env_params, kc, drain_steps
+        ))
+        for i in range(kc.shape[0]):
+            raw = jax.tree_util.tree_map(lambda a: a[i], raw_all)
+            row = episode_result(raw)
+            row["episode"] = c0 + i
+            rows.append(row)
     return rows
 
 
